@@ -1,0 +1,81 @@
+"""Static tracker configuration.
+
+Two kinds of parameters:
+
+* ``TrackerShapes`` — static padding capacities baked into the compiled
+  step (max targets, leaves per target, measurements per scan, AIS
+  messages, association-window depth).  Everything data-dependent in the
+  reference (number of leaves, gated measurements, cluster sizes, ILP
+  dimensions) becomes a masked, padded axis here.
+* ``TrackerParams`` — numeric parameters mirroring the reference Tracker
+  kwargs (/root/reference/pymht/tracker.py:41-127): P_d, gate sizes
+  eta2/eta2_ais, clutter densities, window length N, score limits,
+  initiator m/n settings.
+"""
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class TrackerShapes:
+    max_targets: int = 32        # T: padded target axis
+    max_leaves: int = 64         # L: hypothesis beam width per target
+    max_meas: int = 64           # M: padded radar measurements per scan
+    max_ais: int = 8             # A: padded AIS messages per scan
+    window: int = 7              # W: history columns (>= N_max + 1)
+    # m/n initiator capacities
+    max_prelim: int = 32         # P: preliminary tracks
+    max_initiators: int = 64     # I: one-point initiators
+
+    def __post_init__(self):
+        assert self.window >= 2
+        assert self.max_leaves >= 2
+
+
+@dataclass(frozen=True)
+class TrackerParams:
+    radar_period: float = 2.5
+    P_d: float = 0.8                      # tracker.py:50
+    lambda_phi: float = 4e-6              # false-alarm density
+    lambda_nu: float = 1e-4               # new-target density
+    eta2: float = 5.99                    # radar gate, chi2_2 95% (tracker.py:110)
+    eta2_ais: float = 9.45                # AIS gate (tracker.py:111)
+    N: int = 5                            # N-scan window (tracker.py:112)
+    # Track termination (tracker.py:115-116, 891-916)
+    score_upper_limit_scale: float = 0.8  # scoreUpperLimit = -ln(1-P_d)*scale
+    cnllr_upper_limit: float = 3.0
+    # Similar-state merge threshold (tracker.py:117)
+    prune_threshold: float = 4.0
+    # Radar geometry
+    position: tuple = (0.0, 0.0)
+    radar_range: float = float('inf')
+    # Initiator (tracker.py:62-65, m_of_n.py:216-228)
+    max_speed: float = 20.0
+    M_required: int = 2
+    N_checks: int = 3
+    gate_probability: float = 0.99        # m_of_n.py:13-16
+    # AIS association priors (tracker.py:108-109)
+    P_r: float = 0.95
+    P_ais: float = 0.5
+
+    @property
+    def lambda_ex(self):
+        return self.lambda_phi + self.lambda_nu
+
+    @property
+    def score_upper_limit(self):
+        return -np.log(1.0 - self.P_d) * self.score_upper_limit_scale
+
+    @property
+    def merge_threshold(self):
+        # 4 * sigmaR^2 neighbourhood for duplicate initial targets
+        # (tracker.py:65)
+        from ..models.constants import sigmaR_RADAR_tracker
+        return 4.0 * sigmaR_RADAR_tracker ** 2
+
+    @property
+    def gamma_initiator(self):
+        # chi2(df=2).ppf(gate_probability) without a scipy dependency at
+        # runtime: for df=2 the chi-square ppf is -2 ln(1-p).
+        return float(-2.0 * np.log(1.0 - self.gate_probability))

@@ -1,0 +1,305 @@
+"""Hypothesis-forest growth: one scan's spawn/gate/score, fully batched.
+
+This is the TPU replacement for the reference's per-target Python loop
+(_growTarget + _processLeafNodes + spawnNewNodes,
+/root/reference/pymht/tracker.py:309-415, pyTarget.py:227-295): predict
+all leaves of all targets, gate them against all measurements, score
+every (leaf, association) candidate, and keep the best ``L`` new leaves
+per target (a score-based beam — the principled version of the
+reference's ad-hoc node caps at tracker.py:118,918-950; with generous
+``L`` it is exhaustive and exactly matches the reference tree).
+
+Candidate layout per leaf (C = 1 + M + A*(1 + M) slots):
+
+* slot 0                     : zero-hypothesis (missed detection)
+* slot 1 + m                 : radar measurement m
+* slot 1 + M + a*(1+M)       : pure-AIS association with AIS message a
+* slot 1 + M + a*(1+M) + 1+m : AIS message a fused with radar meas m
+
+AIS fusion follows tracker.py:417-552: two-stage Kalman update (AIS at
+its own timestamp, then radar at scan time), score 0.5*nllr_ais +
+0.5*nllr_radar, MMSI-consistency enforced against the track's history.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models import pv, ais as ais_model
+from ..ops import kalman as k
+from .config import TrackerShapes, TrackerParams
+from .state import TrackerState
+
+BIG = jnp.float32(1e9)
+
+
+class Scan(NamedTuple):
+    """One radar scan, padded to M measurements."""
+    z: jnp.ndarray        # [M, 2] f32
+    mask: jnp.ndarray     # [M] bool
+    time: jnp.ndarray     # [] f32
+
+
+class AisBatch(NamedTuple):
+    """AIS messages received since the previous scan, padded to A."""
+    state: jnp.ndarray    # [A, 4] f32
+    time: jnp.ndarray     # [A] f32
+    mmsi: jnp.ndarray     # [A] i32
+    high_accuracy: jnp.ndarray  # [A] bool
+    mask: jnp.ndarray     # [A] bool
+
+
+def empty_ais(shapes: TrackerShapes) -> AisBatch:
+    A = shapes.max_ais
+    return AisBatch(
+        state=jnp.zeros((A, 4), jnp.float32),
+        time=jnp.zeros((A,), jnp.float32),
+        mmsi=jnp.zeros((A,), jnp.int32),
+        high_accuracy=jnp.zeros((A,), bool),
+        mask=jnp.zeros((A,), bool),
+    )
+
+
+class GrowOutputs(NamedTuple):
+    state: TrackerState
+    used_meas: jnp.ndarray   # [M] bool — gated by any active target
+
+
+def _radar_candidates(state, scan, params, A_mat, Q_mat, C, R):
+    """Predict + gate + score all (leaf, radar measurement) pairs.
+
+    Returns per-candidate scores and the update ingredients shared by the
+    selection step.
+    """
+    x_bar, P_bar = k.predict(A_mat, Q_mat, state.leaf_x, state.leaf_P)   # [T,L,4]
+    z_hat, S, S_inv, K, P_hat = k.precalc(C, R, x_bar, P_bar)
+    zt = k.residuals(scan.z, z_hat)                 # [T,L,M,2]
+    nis = k.nis(zt, S_inv)                          # [T,L,M]
+    gate = ((nis <= params.eta2)
+            & scan.mask[None, None, :]
+            & state.leaf_mask[:, :, None])
+    nllr_m = k.nllr(params.lambda_ex, state.tgt_pd[:, None], S, nis)  # [T,L,M]
+    return x_bar, P_bar, z_hat, S, K, P_hat, zt, nis, gate, nllr_m
+
+
+def _ais_candidates(state, scan, ais, params):
+    """Two-stage AIS+radar fusion candidates (tracker.py:417-552).
+
+    Returns for every (target, leaf, ais, radar-slot) candidate the score
+    increment, gating mask, and fused state/covariance ingredients.
+    Slot m in [0, M): fused with radar meas m.  A separate pure-AIS
+    output covers AIS-gated messages with no gated radar measurement.
+    """
+    T, L = state.leaf_mask.shape
+    A = ais.mask.shape[0]
+    M = scan.z.shape[0]
+
+    # Stage 1: predict each leaf to each AIS timestamp and update with the
+    # full-state AIS observation (C_ais = I).  einsum letters: t=target,
+    # q=leaf, a=ais message, m=radar measurement, ijkl=matrix dims.
+    dT1 = ais.time - state.time                                  # [A]
+    Phi1 = pv.Phi(dT1)                                           # [A,4,4]
+    Q1 = pv.Q(dT1)                                               # [A,4,4]
+    x_bar1 = jnp.einsum('aij,tqj->tqai', Phi1, state.leaf_x)     # [T,L,A,4]
+    P_bar1 = jnp.einsum('aij,tqjk,alk->tqail', Phi1,
+                        state.leaf_P, Phi1) + Q1                 # [T,L,A,4,4]
+    R1 = jax.vmap(ais_model.R)(ais.high_accuracy)                # [A,4,4]
+    S1 = P_bar1 + R1                                             # C=I
+    S1_inv = k.inv_psd(S1)
+    zt1 = ais.state - x_bar1                                     # [T,L,A,4]
+    nis1 = jnp.einsum('tqai,tqaij,tqaj->tqa', zt1, S1_inv, zt1)
+    gate1 = ((nis1 <= params.eta2_ais)
+             & ais.mask[None, None, :]
+             & state.leaf_mask[:, :, None])                      # [T,L,A]
+    K1 = jnp.einsum('tqaij,tqajk->tqaik', P_bar1, S1_inv)
+    x_hat1 = x_bar1 + jnp.einsum('tqaij,tqaj->tqai', K1, zt1)
+    P_hat1 = P_bar1 - jnp.einsum('tqaij,tqajk->tqaik', K1, P_bar1)
+
+    n_targets = jnp.sum(state.tgt_mask.astype(jnp.float32))
+    radar_range = params.radar_range if math.isfinite(params.radar_range) else 1e4
+    lambda_ais = (n_targets * params.P_ais) / (jnp.pi * radar_range ** 2)
+    nllr1 = k.nllr(lambda_ais, 1.0, S1, nis1[..., None])[..., 0]  # [T,L,A]
+
+    # Stage 2: predict the AIS-updated state to scan time, gate + update
+    # against the radar measurements.
+    dT2 = scan.time - ais.time                                   # [A]
+    Phi2 = pv.Phi(dT2)
+    Q2 = pv.Q(dT2)
+    x_bar2 = jnp.einsum('aij,tqaj->tqai', Phi2, x_hat1)          # [T,L,A,4]
+    P_bar2 = jnp.einsum('aij,tqajk,alk->tqail', Phi2, P_hat1, Phi2) + Q2
+    C = pv.C_RADAR
+    R2 = pv.R_RADAR()
+    z_hat2 = jnp.einsum('ij,tqaj->tqai', C, x_bar2)              # [T,L,A,2]
+    PCt = jnp.einsum('tqaij,kj->tqaik', P_bar2, C)
+    S2 = jnp.einsum('ij,tqajk->tqaik', C, PCt) + R2              # [T,L,A,2,2]
+    S2_inv = k.inv_psd(S2)
+    K2 = PCt @ S2_inv                                            # [T,L,A,4,2]
+    P_hat2 = P_bar2 - jnp.einsum('tqaij,jk,tqakl->tqail', K2, C, P_bar2)
+    zt2 = scan.z[None, None, None, :, :] - z_hat2[..., None, :]  # [T,L,A,M,2]
+    nis2 = jnp.einsum('tqami,tqaij,tqamj->tqam', zt2, S2_inv, zt2)
+    gate2 = ((nis2 <= params.eta2)
+             & scan.mask[None, None, None, :]
+             & gate1[..., None])                                 # [T,L,A,M]
+    nllr2 = k.nllr(params.lambda_ex, state.tgt_pd[:, None, None], S2, nis2)
+
+    # MMSI consistency (pyTarget.py:269-272): a leaf may only take an AIS
+    # message whose MMSI matches the track's historical MMSI (if any).
+    hist_mmsi_leaf = jnp.max(state.hist_mmsi, axis=2)            # [T,L]
+    hist_mmsi_leaf = jnp.maximum(hist_mmsi_leaf, state.tgt_mmsi[:, None])
+    mmsi_ok = ((hist_mmsi_leaf[:, :, None] == 0)
+               | (hist_mmsi_leaf[:, :, None] == ais.mmsi[None, None, :]))
+    gate1 = gate1 & mmsi_ok
+    gate2 = gate2 & mmsi_ok[..., None]
+
+    # Fused candidates: score = cnllr + 0.5*nllr1 + 0.5*nllr2
+    # (tracker.py:502).  Pure-AIS candidate (no gated radar,
+    # tracker.py:513-525): score = cnllr + nllr1.
+    fused_score = 0.5 * nllr1[..., None] + 0.5 * nllr2           # [T,L,A,M]
+    no_radar = ~jnp.any(gate2, axis=-1)                          # [T,L,A]
+    pure_gate = gate1 & no_radar
+    # Pure-AIS state: x_bar2 (prediction of AIS-updated state to scan
+    # time), covariance P_hat2 of the radar update NOT applied -> P_bar2
+    # per tracker.py:514-515 uses P_hat_list2[0]... the reference takes
+    # the *updated* covariance there; we follow it (P_hat2 slot 0 is not
+    # measurement-dependent anyway since P_hat2 is independent of z).
+    x_fused = (x_bar2[..., None, :]
+               + jnp.einsum('tqaij,tqamj->tqami', K2, zt2))      # [T,L,A,M,4]
+    return (gate1, gate2, pure_gate, nllr1, fused_score,
+            x_fused, x_bar2, P_hat2)
+
+
+def grow(state: TrackerState,
+         scan: Scan,
+         ais: Optional[AisBatch],
+         shapes: TrackerShapes,
+         params: TrackerParams) -> GrowOutputs:
+    """Advance every target's hypothesis forest by one scan."""
+    T, L, W = state.hist_meas.shape
+    M = shapes.max_meas
+
+    A_mat = pv.Phi(scan.time - state.time)
+    Q_mat = pv.Q(scan.time - state.time)
+    C = pv.C_RADAR
+    R = pv.R_RADAR()
+
+    (x_bar, P_bar, z_hat, S, K, P_hat,
+     zt, nis, gate, nllr_m) = _radar_candidates(
+        state, scan, params, A_mat, Q_mat, C, R)
+
+    # --- candidate scores -------------------------------------------
+    # slot 0: zero hypothesis; slots 1..M: radar measurements.
+    zero_score = jnp.where(state.leaf_mask,
+                           state.leaf_cnllr + k.nllr_missed(state.tgt_pd)[:, None],
+                           BIG)                                      # [T,L]
+    meas_score = jnp.where(gate, state.leaf_cnllr[:, :, None] + nllr_m,
+                           BIG)                                      # [T,L,M]
+    cand_scores = jnp.concatenate(
+        [zero_score[:, :, None], meas_score], axis=2)                # [T,L,1+M]
+
+    use_ais = ais is not None
+    if use_ais:
+        (gate1, gate2, pure_gate, nllr1, fused_score,
+         x_fused, x_pure, P_ais_hat) = _ais_candidates(state, scan, ais, params)
+        A = shapes.max_ais
+        pure_score = jnp.where(pure_gate,
+                               state.leaf_cnllr[:, :, None] + nllr1, BIG)  # [T,L,A]
+        fused = jnp.where(gate2,
+                          state.leaf_cnllr[:, :, None, None] + fused_score,
+                          BIG)                                       # [T,L,A,M]
+        ais_block = jnp.concatenate(
+            [pure_score[..., None], fused], axis=3)                  # [T,L,A,1+M]
+        cand_scores = jnp.concatenate(
+            [cand_scores, ais_block.reshape(T, L, A * (1 + M))], axis=2)
+
+    Cn = cand_scores.shape[2]                                        # candidates/leaf
+    flat_scores = cand_scores.reshape(T, L * Cn)
+
+    # --- beam selection: keep the best L candidates per target -------
+    top_scores, top_idx = jax.lax.top_k(-flat_scores, L)
+    top_scores = -top_scores                                         # [T,L] ascending
+    new_mask = top_scores < BIG * 0.5
+    parent = top_idx // Cn                                           # [T,L]
+    slot = top_idx % Cn                                              # [T,L]
+
+    tb = jnp.arange(T)[:, None]
+    is_zero = slot == 0
+    radar_m = jnp.clip(slot - 1, 0, M - 1)                           # [T,L]
+    if use_ais:
+        A = shapes.max_ais
+        ais_slot = jnp.clip(slot - (1 + M), 0, A * (1 + M) - 1)
+        is_ais = slot >= (1 + M)
+        ais_a = ais_slot // (1 + M)                                  # [T,L]
+        ais_sub = ais_slot % (1 + M)                                 # 0=pure, 1+m fused
+        is_pure_ais = is_ais & (ais_sub == 0)
+        ais_m = jnp.clip(ais_sub - 1, 0, M - 1)
+
+    # --- gather new leaf states -------------------------------------
+    x_bar_p = x_bar[tb, parent]                                      # [T,L,4]
+    P_bar_p = P_bar[tb, parent]
+    K_p = K[tb, parent]                                              # [T,L,4,2]
+    zt_p = zt[tb, parent, radar_m]                                   # [T,L,2]
+    x_radar = x_bar_p + jnp.einsum('tlij,tlj->tli', K_p, zt_p)
+    P_radar = P_hat[tb, parent]
+
+    new_x = jnp.where(is_zero[..., None], x_bar_p, x_radar)
+    new_P = jnp.where(is_zero[..., None, None], P_bar_p, P_radar)
+    new_meas_label = jnp.where(is_zero, 0, radar_m + 1)
+    new_ais_label = jnp.zeros((T, L), jnp.int32)
+    new_mmsi_label = jnp.zeros((T, L), jnp.int32)
+
+    if use_ais:
+        x_f = x_fused[tb, parent, ais_a, ais_m]                      # [T,L,4]
+        x_p = x_pure[tb, parent, ais_a]
+        P_f = P_ais_hat[tb, parent, ais_a]
+        new_x = jnp.where(is_ais[..., None],
+                          jnp.where(is_pure_ais[..., None], x_p, x_f), new_x)
+        new_P = jnp.where(is_ais[..., None, None], P_f, new_P)
+        new_meas_label = jnp.where(is_ais,
+                                   jnp.where(is_pure_ais, 0, ais_m + 1),
+                                   new_meas_label)
+        new_ais_label = jnp.where(is_ais, ais_a + 1, new_ais_label)
+        new_mmsi_label = jnp.where(is_ais, ais.mmsi[ais_a], new_mmsi_label)
+
+    new_meas_label = jnp.where(new_mask, new_meas_label, -1)
+
+    # --- roll history one column left, write the new column ---------
+    def shift_append(hist, col, fill):
+        rolled = jnp.roll(hist, -1, axis=2)
+        rolled = rolled.at[:, :, -1].set(col)
+        return jnp.where(new_mask[:, :, None] if rolled.ndim == 3
+                         else new_mask[:, :, None, None],
+                         rolled, fill)
+
+    # parent gather first: the new leaf inherits its parent's history.
+    def pgather(hist):
+        return hist[tb, parent]
+
+    hist_meas = shift_append(pgather(state.hist_meas), new_meas_label, -1)
+    hist_ais = shift_append(pgather(state.hist_ais), new_ais_label, 0)
+    hist_mmsi = shift_append(pgather(state.hist_mmsi), new_mmsi_label, 0)
+    hist_cnllr = shift_append(pgather(state.hist_cnllr), top_scores, 0.0)
+    hx = jnp.roll(pgather(state.hist_x), -1, axis=2).at[:, :, -1].set(new_x)
+    hist_x = jnp.where(new_mask[:, :, None, None], hx, 0.0)
+
+    new_state = state.replace(
+        leaf_x=jnp.where(new_mask[..., None], new_x, 0.0),
+        leaf_P=jnp.where(new_mask[..., None, None], new_P, 0.0),
+        leaf_cnllr=jnp.where(new_mask, top_scores, 0.0),
+        leaf_mask=new_mask & state.tgt_mask[:, None],
+        hist_meas=hist_meas,
+        hist_ais=hist_ais,
+        hist_mmsi=hist_mmsi,
+        hist_cnllr=hist_cnllr,
+        hist_x=hist_x,
+        tgt_depth=jnp.where(state.tgt_mask,
+                            jnp.minimum(state.tgt_depth + 1, W),
+                            state.tgt_depth),
+        scan_idx=state.scan_idx + 1,
+        time=scan.time,
+    )
+
+    used = jnp.any(gate, axis=(0, 1))                                # [M]
+    return GrowOutputs(state=new_state, used_meas=used)

@@ -1,0 +1,150 @@
+"""Struct-of-arrays tracker state.
+
+The reference keeps each target as a Python tree of ``Target`` nodes with
+parent pointers (/root/reference/pymht/pyTarget.py:14-40).  Here the whole
+forest lives in padded HBM arrays: a hypothesis *leaf* is one row of the
+leaf table, and its ancestry is not a pointer chain but a label history —
+``hist_meas``/``hist_ais``/``hist_mmsi`` columns aligned so that column
+``W-1`` is the current scan for every target.  The tree is a trie of
+association labels, so leaves-with-histories represent it losslessly for
+every operation the tracker needs (scoring, A1/A2 assembly, N-scan
+pruning, backtracking).
+
+Encodings:
+
+* ``hist_meas``: -1 = no scan (padding), 0 = zero-hypothesis / missed
+  detection (reference measurementNumber == 0), m >= 1 = radar
+  measurement index m-1 of that scan (reference measurementNumber == m).
+  A pure-AIS node (reference measurementNumber is None) is 0 with a
+  nonzero ``hist_ais`` slot.
+* ``hist_ais``: 0 = none, a >= 1 = AIS message slot a-1 of that scan.
+* ``hist_mmsi``: 0 = none, else the MMSI identity (fits int32).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from .config import TrackerShapes, TrackerParams
+from ..models import pv
+
+
+class TrackerState(struct.PyTreeNode):
+    # Leaf table ------------------------------------------------------
+    leaf_x: jnp.ndarray       # [T, L, 4] f32 — leaf state estimate
+    leaf_P: jnp.ndarray       # [T, L, 4, 4] f32 — leaf covariance
+    leaf_cnllr: jnp.ndarray   # [T, L] f32 — cumulative NLLR since birth
+    leaf_mask: jnp.ndarray    # [T, L] bool
+    # Label history window (col W-1 == current scan) ------------------
+    hist_meas: jnp.ndarray    # [T, L, W] i32
+    hist_ais: jnp.ndarray     # [T, L, W] i32
+    hist_mmsi: jnp.ndarray    # [T, L, W] i32
+    hist_cnllr: jnp.ndarray   # [T, L, W] f32 — cnllr after each scan
+    hist_x: jnp.ndarray       # [T, L, W, 4] f32 — state after each scan
+    # Per-target ------------------------------------------------------
+    tgt_mask: jnp.ndarray     # [T] bool — active target
+    tgt_id: jnp.ndarray       # [T] i32 — external track id (-1 free slot)
+    tgt_root_cnllr: jnp.ndarray  # [T] f32 — cnllr at window root
+    tgt_depth: jnp.ndarray    # [T] i32 — valid history columns
+    tgt_window: jnp.ndarray   # [T] i32 — per-target dynamic N
+    tgt_pd: jnp.ndarray       # [T] f32
+    tgt_mmsi: jnp.ndarray     # [T] i32 — MMSI confirmed before the window
+    sel_leaf: jnp.ndarray     # [T] i32 — selected (global-best) leaf
+    # Globals ---------------------------------------------------------
+    scan_idx: jnp.ndarray     # [] i32 — number of scans processed
+    time: jnp.ndarray         # [] f32 — time of last processed scan
+    next_id: jnp.ndarray      # [] i32 — next track id to assign
+
+
+def empty_state(shapes: TrackerShapes, params: TrackerParams) -> TrackerState:
+    T, L, W = shapes.max_targets, shapes.max_leaves, shapes.window
+    f32, i32 = jnp.float32, jnp.int32
+    return TrackerState(
+        leaf_x=jnp.zeros((T, L, 4), f32),
+        leaf_P=jnp.zeros((T, L, 4, 4), f32),
+        leaf_cnllr=jnp.zeros((T, L), f32),
+        leaf_mask=jnp.zeros((T, L), bool),
+        hist_meas=jnp.full((T, L, W), -1, i32),
+        hist_ais=jnp.zeros((T, L, W), i32),
+        hist_mmsi=jnp.zeros((T, L, W), i32),
+        hist_cnllr=jnp.zeros((T, L, W), f32),
+        hist_x=jnp.zeros((T, L, W, 4), f32),
+        tgt_mask=jnp.zeros((T,), bool),
+        tgt_id=jnp.full((T,), -1, i32),
+        tgt_root_cnllr=jnp.zeros((T,), f32),
+        tgt_depth=jnp.zeros((T,), i32),
+        tgt_window=jnp.full((T,), params.N, i32),
+        tgt_pd=jnp.full((T,), params.P_d, f32),
+        tgt_mmsi=jnp.zeros((T,), i32),
+        sel_leaf=jnp.zeros((T,), i32),
+        scan_idx=jnp.asarray(0, i32),
+        time=jnp.asarray(0.0, f32),
+        next_id=jnp.asarray(0, i32),
+    )
+
+
+def insert_targets(state: TrackerState,
+                   new_x: jnp.ndarray,       # [K, 4]
+                   new_P: jnp.ndarray,       # [K, 4, 4]
+                   new_mask: jnp.ndarray,    # [K] bool
+                   new_mmsi: jnp.ndarray,    # [K] i32 (0 = none)
+                   time: jnp.ndarray,
+                   params: TrackerParams) -> TrackerState:
+    """Initiate up to K new targets into free slots (masked, fixed-shape).
+
+    Mirrors Tracker.initiateTarget (/root/reference/pymht/tracker.py:147-158):
+    each new target becomes a single root-leaf with cnllr 0 and a fresh id.
+    Neighbourhood rejection is the caller's responsibility.
+    """
+    T, L = state.leaf_mask.shape
+    K = new_x.shape[0]
+
+    free = ~state.tgt_mask                               # [T]
+    # Rank free slots and new targets; new target k -> k-th free slot.
+    slot_rank = jnp.cumsum(free.astype(jnp.int32)) - 1   # [T] rank among free
+    new_rank = jnp.cumsum(new_mask.astype(jnp.int32)) - 1  # [K]
+    # For each target slot, which new target lands there (-1 = none).
+    # slot t gets new target k iff free[t] and new_rank[k] == slot_rank[t].
+    match = (free[:, None]
+             & new_mask[None, :]
+             & (slot_rank[:, None] == new_rank[None, :]))  # [T, K]
+    take = match.any(axis=1)                              # [T]
+    src = jnp.argmax(match, axis=1)                       # [T] index into K
+
+    x_in = new_x[src]                                     # [T, 4]
+    P_in = new_P[src]
+    mmsi_in = new_mmsi[src]
+
+    leaf_x = jnp.where(take[:, None, None],
+                       jnp.zeros_like(state.leaf_x).at[:, 0].set(x_in),
+                       state.leaf_x)
+    leaf_P = jnp.where(take[:, None, None, None],
+                       jnp.zeros_like(state.leaf_P).at[:, 0].set(P_in),
+                       state.leaf_P)
+    leaf_cnllr = jnp.where(take[:, None], 0.0, state.leaf_cnllr)
+    first = jnp.zeros((T, L), bool).at[:, 0].set(True)
+    leaf_mask = jnp.where(take[:, None], first, state.leaf_mask)
+
+    hist_meas = jnp.where(take[:, None, None], -1, state.hist_meas)
+    hist_ais = jnp.where(take[:, None, None], 0, state.hist_ais)
+    hist_mmsi = jnp.where(take[:, None, None], 0, state.hist_mmsi)
+    hist_cnllr = jnp.where(take[:, None, None], 0.0, state.hist_cnllr)
+    hist_x = jnp.where(take[:, None, None, None], 0.0, state.hist_x)
+
+    n_new = jnp.sum(new_mask.astype(jnp.int32))
+    ids = jnp.where(take, state.next_id + slot_rank, state.tgt_id)
+
+    return state.replace(
+        leaf_x=leaf_x, leaf_P=leaf_P, leaf_cnllr=leaf_cnllr,
+        leaf_mask=leaf_mask, hist_meas=hist_meas, hist_ais=hist_ais,
+        hist_mmsi=hist_mmsi, hist_cnllr=hist_cnllr, hist_x=hist_x,
+        tgt_mask=state.tgt_mask | take,
+        tgt_id=ids,
+        tgt_root_cnllr=jnp.where(take, 0.0, state.tgt_root_cnllr),
+        tgt_depth=jnp.where(take, 0, state.tgt_depth),
+        tgt_window=jnp.where(take, params.N, state.tgt_window),
+        tgt_pd=jnp.where(take, params.P_d, state.tgt_pd),
+        tgt_mmsi=jnp.where(take, mmsi_in, state.tgt_mmsi),
+        sel_leaf=jnp.where(take, 0, state.sel_leaf),
+        next_id=state.next_id + n_new,
+    )
