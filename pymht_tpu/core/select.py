@@ -1,0 +1,273 @@
+"""Global hypothesis selection over the forest arrays.
+
+Covers the reference's cluster + optimise phases
+(/root/reference/pymht/tracker.py:961-1217): build the measurement-usage
+structure (A1), the one-leaf-per-target structure (A2) and the score
+vector (C) directly from the history arrays, then pick one leaf per
+target minimising total score subject to single-use measurements.
+
+Two interchangeable solvers:
+
+* ``ipm``        — dense assembly + interior-point LP with truncated
+                   branch-and-bound (ops/lp.py).  Near-exact; cost is a
+                   Cholesky per IPM iteration.  Right for parity tests
+                   and moderate sizes.
+* ``lagrangian`` — matrix-free: dual prices per (window-scan, slot) are
+                   *gathered* through ``hist_meas``/``hist_ais`` to form
+                   reduced costs, usage counts are scatter-adds of the
+                   decoded selection.  O(T*L*W) per iteration, no
+                   factorisation — the scalable path for large scans.
+
+Cluster decomposition is implicit in both (independent blocks of the
+global problem); explicit cluster labels are still computed for
+observability and multi-chip partitioning.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import lp as lp_ops
+from .config import TrackerShapes, TrackerParams
+from .state import TrackerState
+
+BIG = jnp.float32(1e4)
+
+
+class SelectionResult(NamedTuple):
+    sel: jnp.ndarray        # [T] selected leaf per target
+    feasible: jnp.ndarray   # [] bool
+    obj: jnp.ndarray        # [] selected total score
+    bound: jnp.ndarray      # [] lower bound (gap certificate)
+    labels: jnp.ndarray     # [T] cluster label per target
+    n_clusters: jnp.ndarray  # [] number of clusters
+
+
+# ----------------------------------------------------------------------
+# Usage encoding helpers
+# ----------------------------------------------------------------------
+
+def _slot_index(state: TrackerState, shapes: TrackerShapes):
+    """Map each (leaf, window column) to a global single-use slot id.
+
+    Radar measurement m at column w -> w*(M+A) + m; AIS message a at
+    column w -> w*(M+A) + M + a; no-usage -> slot S (a dump slot).
+    Returns (slots [T,L,W,2], n_slots) where the last axis carries the
+    radar slot and the AIS slot of that column (a fused node uses both,
+    exactly like the reference's A1 which adds a radar row *and* an AIS
+    row for a fused hypothesis, tracker.py:1047-1064).
+    """
+    T, L, W = state.hist_meas.shape
+    M, A = shapes.max_meas, shapes.max_ais
+    per_col = M + A
+    n_slots = W * per_col
+    w_ids = jnp.arange(W)[None, None, :]
+    radar_slot = jnp.where(state.hist_meas >= 1,
+                           w_ids * per_col + (state.hist_meas - 1),
+                           n_slots)
+    ais_slot = jnp.where(state.hist_ais >= 1,
+                         w_ids * per_col + M + (state.hist_ais - 1),
+                         n_slots)
+    slots = jnp.stack([radar_slot, ais_slot], axis=-1)    # [T,L,W,2]
+    return slots, n_slots
+
+
+def target_usage(state: TrackerState, shapes: TrackerShapes):
+    """[T, n_slots] bool: does any live leaf of target t use slot s?"""
+    slots, n_slots = _slot_index(state, shapes)
+    T, L, W, _ = slots.shape
+    oh = jax.nn.one_hot(slots.reshape(T, L, W * 2), n_slots + 1,
+                        dtype=jnp.float32)
+    use = jnp.einsum('tlks,tl->ts', oh, state.leaf_mask.astype(jnp.float32))
+    return (use[:, :n_slots] > 0), n_slots
+
+
+# ----------------------------------------------------------------------
+# Clustering (reference tracker.py:961-974)
+# ----------------------------------------------------------------------
+
+def cluster(state: TrackerState, shapes: TrackerShapes):
+    """Connected components of the target–measurement sharing graph via
+    min-label propagation on device."""
+    use, _ = target_usage(state, shapes)
+    T = use.shape[0]
+    usef = use.astype(jnp.float32)
+    adj = (usef @ usef.T) > 0                              # share >=1 slot
+    adj = adj & state.tgt_mask[:, None] & state.tgt_mask[None, :]
+    adj = adj | (jnp.eye(T, dtype=bool) & state.tgt_mask[:, None])
+
+    labels0 = jnp.where(state.tgt_mask, jnp.arange(T), T)
+
+    def body(carry):
+        labels, _ = carry
+        neigh = jnp.where(adj, labels[None, :], T)
+        new = jnp.minimum(labels, jnp.min(neigh, axis=1))
+        return new, jnp.any(new != labels)
+
+    def cond(carry):
+        return carry[1]
+
+    labels, _ = jax.lax.while_loop(cond, body, (labels0, jnp.asarray(True)))
+    is_root = state.tgt_mask & (labels == jnp.arange(T))
+    return labels, jnp.sum(is_root.astype(jnp.int32))
+
+
+# ----------------------------------------------------------------------
+# Scores (reference _createC, tracker.py:1124-1136)
+# ----------------------------------------------------------------------
+
+def leaf_scores(state: TrackerState, params: TrackerParams):
+    f = (state.leaf_cnllr - state.tgt_root_cnllr[:, None]) / params.N
+    return jnp.where(state.leaf_mask, f, BIG)
+
+
+# ----------------------------------------------------------------------
+# Dense IPM path
+# ----------------------------------------------------------------------
+
+def select_ipm(state: TrackerState, shapes: TrackerShapes,
+               params: TrackerParams, budget: int = 8) -> SelectionResult:
+    T, L, W = state.hist_meas.shape
+    slots, n_slots = _slot_index(state, shapes)
+    n = T * L
+
+    # A_in [n_slots, n]: leaf uses slot (one-hot over both label kinds).
+    oh = jax.nn.one_hot(slots.reshape(T, L, W * 2), n_slots + 1,
+                        dtype=jnp.float32)
+    A_in = jnp.clip(oh.sum(axis=2), 0.0, 1.0)              # [T,L,S+1]
+    A_in = (A_in[..., :n_slots] * state.leaf_mask[..., None])
+    A_in = A_in.reshape(n, n_slots).T                      # [S, n]
+    # Keep every slot used by at least one leaf: within-target conflicts
+    # across the window matter too (a measurement may be claimed by two
+    # different targets' histories at different tree depths).
+    in_mask = A_in.sum(axis=1) > 0.5
+
+    A_eq = jax.nn.one_hot(jnp.arange(n) // L, T, dtype=jnp.float32).T
+    f = leaf_scores(state, params).reshape(n)
+    var_mask = state.leaf_mask.reshape(n)
+    # Inactive targets: equality row must stay satisfiable -> allow their
+    # leaf 0 as a dummy with zero cost.
+    dummy = (~state.tgt_mask)[:, None] & (jnp.arange(L) == 0)[None, :]
+    var_mask = var_mask | dummy.reshape(n)
+    f = jnp.where(dummy.reshape(n), 0.0, f)
+
+    sel, feas, obj, bound = lp_ops.solve_ilp(
+        f, A_eq, jnp.ones((T,), jnp.float32),
+        A_in, jnp.ones((n_slots,), jnp.float32),
+        var_mask, jnp.ones((T,), bool), in_mask,
+        T, L, state.tgt_mask | ~state.tgt_mask, budget=budget)
+    # (tgt_mask passed as all-true so dummy leaves keep eq rows feasible;
+    # scores of inactive targets are 0 so they do not affect the
+    # objective.)
+    labels, n_clusters = cluster(state, shapes)
+    return SelectionResult(sel=sel, feasible=feas, obj=obj, bound=bound,
+                           labels=labels, n_clusters=n_clusters)
+
+
+# ----------------------------------------------------------------------
+# Matrix-free Lagrangian path
+# ----------------------------------------------------------------------
+
+def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
+                      params: TrackerParams, iters: int = 120,
+                      theta: float = 1.0) -> SelectionResult:
+    """Subgradient ascent with gather/scatter duals — no matrices.
+
+    Dual price lam[s] per single-use slot; reduced cost of a leaf is its
+    score plus the prices of every slot in its history (two gathers).
+    The decode is an argmin per target; usage counts come from a
+    scatter-add of the decoded selection.  Feasible incumbents are
+    maintained with a conflict-repair sweep.
+    """
+    T, L, W = state.hist_meas.shape
+    slots, n_slots = _slot_index(state, shapes)            # [T,L,W,2]
+    f = leaf_scores(state, params)                         # [T,L]
+    slots_flat = slots.reshape(T, L, W * 2)
+
+    def reduced_cost(lam):
+        lam_pad = jnp.concatenate([lam, jnp.zeros((1,), jnp.float32)])
+        picked = lam_pad[slots_flat]                       # [T,L,W*2]
+        return f + picked.sum(axis=2)
+
+    def decode(lam):
+        rc = reduced_cost(lam)
+        sel = jnp.argmin(rc, axis=1)
+        lb = (jnp.where(state.tgt_mask, jnp.min(rc, axis=1), 0.0).sum()
+              - lam.sum())
+        return sel, lb
+
+    def usage_of(sel):
+        s = slots_flat[jnp.arange(T), sel]                 # [T, W*2]
+        s = jnp.where(state.tgt_mask[:, None], s, n_slots)
+        cnt = jnp.zeros((n_slots + 1,), jnp.float32)
+        cnt = cnt.at[s.reshape(-1)].add(1.0)
+        return cnt[:n_slots]
+
+    def repair(sel):
+        """Ban-and-repick conflict resolution (gather-based)."""
+        def body(i, carry):
+            sel, banned = carry
+            cnt = usage_of(sel)
+            over = cnt > 1.5
+            over_pad = jnp.concatenate([over, jnp.zeros((1,), bool)])
+            own = slots_flat[jnp.arange(T), sel]           # [T, W*2]
+            in_conf = over_pad[own].any(axis=1) & state.tgt_mask
+            fsel = f[jnp.arange(T), sel]
+            worst = jnp.argmax(jnp.where(in_conf, fsel, -jnp.inf))
+            any_conf = jnp.any(in_conf)
+            banned = jnp.where(any_conf,
+                               banned.at[worst, sel[worst]].set(True), banned)
+            fb = jnp.where(banned, jnp.inf, f)
+            sel = jnp.where(any_conf, jnp.argmin(fb, axis=1), sel)
+            return sel, banned
+        sel, _ = jax.lax.fori_loop(0, 16, body,
+                                   (sel, jnp.zeros((T, L), bool)))
+        cnt = usage_of(sel)
+        return sel, ~jnp.any(cnt > 1.5)
+
+    def obj_of(sel):
+        return jnp.where(state.tgt_mask,
+                         f[jnp.arange(T), sel], 0.0).sum()
+
+    def body(i, carry):
+        lam, best_sel, best_obj, best_feas, best_lb = carry
+        sel, lb = decode(lam)
+        best_lb = jnp.maximum(best_lb, lb)
+        cnt = usage_of(sel)
+        # Subgradient of the dualised <=1 rows, restricted to rows that
+        # are actually in play (unused rows keep lam at 0 via the clamp).
+        g = jnp.where(cnt > 0, cnt - 1.0, 0.0)
+        sel_r, feas = repair(sel)
+        obj = obj_of(sel_r)
+        better = feas & ((obj < best_obj) | ~best_feas)
+        best_sel = jnp.where(better, sel_r, best_sel)
+        best_obj = jnp.where(better, obj, best_obj)
+        best_feas = best_feas | feas
+        gnorm2 = jnp.maximum(jnp.dot(g, g), 1e-6)
+        gap_est = jnp.where(best_feas, jnp.maximum(best_obj - lb, 1e-3), 1.0)
+        step = theta * gap_est / gnorm2
+        lam = jnp.maximum(0.0, lam + step * g)
+        return lam, best_sel, best_obj, best_feas, best_lb
+
+    init = (jnp.zeros((n_slots,), jnp.float32),
+            jnp.zeros((T,), jnp.int32),
+            jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(False),
+            jnp.asarray(-jnp.inf, jnp.float32))
+    lam, best_sel, best_obj, best_feas, best_lb = jax.lax.fori_loop(
+        0, iters, body, init)
+
+    labels, n_clusters = cluster(state, shapes)
+    return SelectionResult(sel=best_sel, feasible=best_feas, obj=best_obj,
+                           bound=best_lb, labels=labels,
+                           n_clusters=n_clusters)
+
+
+def select(state: TrackerState, shapes: TrackerShapes, params: TrackerParams,
+           method: str = 'ipm', **kw) -> SelectionResult:
+    if method == 'ipm':
+        return select_ipm(state, shapes, params, **kw)
+    if method == 'lagrangian':
+        return select_lagrangian(state, shapes, params, **kw)
+    raise ValueError(f"unknown selection method {method!r}")

@@ -1,0 +1,349 @@
+"""The per-scan tracker pipeline and host-facing Tracker class.
+
+Device side: one jitted, fixed-shape ``scan_step`` composing
+grow -> select -> terminate -> N-scan prune -> initiate -> insert —
+the reference's 7-phase ``addMeasurementList`` loop
+(/root/reference/pymht/tracker.py:162-307) as a single compiled program.
+
+Host side: the ``Tracker`` class mirrors the reference API surface
+(constructor kwargs, ``addMeasurementList``, ``getTrackNodes``,
+``getSmoothTracks``) while keeping all hot state on device.  The host
+archives each track's *confirmed* past (the window-root spine the
+reference keeps as parent pointers) as plain numpy, appended from the
+prune outputs each scan.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import pv
+from .config import TrackerShapes, TrackerParams
+from .state import TrackerState, empty_state, insert_targets
+from .grow import Scan, AisBatch, empty_ais, grow
+from .select import select, SelectionResult
+from .lifecycle import n_scan_prune, terminate
+from . import initiator as initiator_mod
+
+
+class StepOutputs(NamedTuple):
+    # Selected track estimate per target slot (post-selection, pre-prune)
+    track_mask: jnp.ndarray     # [T] bool — active when selected
+    track_id: jnp.ndarray       # [T] i32
+    track_x: jnp.ndarray        # [T, 4]
+    track_cnllr: jnp.ndarray    # [T]
+    sel_hist_valid: jnp.ndarray  # [T, W] bool
+    sel_hist_x: jnp.ndarray     # [T, W, 4]
+    sel_hist_meas: jnp.ndarray  # [T, W] i32
+    sel_hist_mmsi: jnp.ndarray  # [T, W] i32
+    # Lifecycle
+    dead: jnp.ndarray           # [T] bool
+    dead_reason: jnp.ndarray    # [T] i32
+    confirmed_mask: jnp.ndarray  # [T, W]
+    confirmed_x: jnp.ndarray    # [T, W, 4]
+    confirmed_meas: jnp.ndarray  # [T, W]
+    confirmed_mmsi: jnp.ndarray  # [T, W]
+    # Diagnostics
+    n_clusters: jnp.ndarray     # [] i32
+    sel_obj: jnp.ndarray        # [] f32
+    sel_bound: jnp.ndarray      # [] f32
+    sel_feasible: jnp.ndarray   # [] bool
+    n_leaves: jnp.ndarray       # [] i32
+    used_meas: jnp.ndarray      # [M] bool
+
+
+def scan_step(state: TrackerState,
+              init_state: initiator_mod.InitiatorState,
+              scan: Scan,
+              ais: AisBatch,
+              shapes: TrackerShapes,
+              params: TrackerParams,
+              method: str = 'ipm',
+              use_ais: bool = True,
+              ais_initialization: bool = True):
+    """One radar scan through the full pipeline (pure, jittable)."""
+    T, L, W = state.hist_meas.shape
+    tb = jnp.arange(T)
+
+    # 1. grow ---------------------------------------------------------
+    g = grow(state, scan, ais if use_ais else None, shapes, params)
+    state = g.state
+
+    # 2-3. cluster + global hypothesis selection ---------------------
+    sel_res = select(state, shapes, params, method=method)
+    state = state.replace(sel_leaf=sel_res.sel)
+
+    # snapshot of the selected track nodes (reference __trackNodes__)
+    sel = sel_res.sel
+    track_x = state.leaf_x[tb, sel]
+    track_cnllr = state.leaf_cnllr[tb, sel]
+    sel_hist_valid = (jnp.arange(W)[None, :]
+                      >= (W - state.tgt_depth)[:, None]) & state.tgt_mask[:, None]
+    sel_hist_x = state.hist_x[tb, sel]
+    sel_hist_meas = state.hist_meas[tb, sel]
+    sel_hist_mmsi = state.hist_mmsi[tb, sel]
+    track_mask = state.tgt_mask
+    track_id = state.tgt_id
+
+    # 6. terminate ----------------------------------------------------
+    term = terminate(state, shapes, params)
+    state = term.state
+
+    # 7. N-scan prune -------------------------------------------------
+    pr = n_scan_prune(state, shapes, params)
+    state = pr.state
+
+    # 8. initiate -----------------------------------------------------
+    unused_z = scan.mask & ~g.used_meas
+    if use_ais and ais_initialization:
+        # AIS messages whose MMSI was associated by any surviving leaf
+        # this scan are not available for initiation (tracker.py:267-270).
+        cur_mmsi = jnp.where(state.leaf_mask, state.hist_mmsi[:, :, -1], 0)
+        used_mmsi_ais = jnp.isin(ais.mmsi, cur_mmsi.reshape(-1))
+        ais_for_init = ais._replace(mask=ais.mask & ~used_mmsi_ais)
+    else:
+        ais_for_init = empty_ais(shapes)
+    init_out = initiator_mod.step(init_state, scan.z, unused_z, scan.time,
+                                  ais_for_init, shapes, params)
+    init_state = init_out.state
+
+    # merge near-duplicate new targets (m_of_n.py:128-147), then reject
+    # those neighbouring an existing track (pyTarget.py:181-189).
+    new_x, new_mask, new_mmsi = _merge_new_targets(
+        init_out.new_x, init_out.new_mask, init_out.new_mmsi,
+        params.merge_threshold)
+    leaf_pos = state.leaf_x[..., :2].reshape(-1, 2)
+    leaf_ok = state.leaf_mask.reshape(-1)
+    d = jnp.linalg.norm(new_x[:, None, :2] - leaf_pos[None, :, :], axis=2)
+    near = (d < params.merge_threshold) & leaf_ok[None, :]
+    new_mask = new_mask & ~near.any(axis=1)
+    state = insert_targets(state, new_x, init_out.new_P, new_mask,
+                           new_mmsi, scan.time, params)
+
+    outputs = StepOutputs(
+        track_mask=track_mask, track_id=track_id, track_x=track_x,
+        track_cnllr=track_cnllr,
+        sel_hist_valid=sel_hist_valid, sel_hist_x=sel_hist_x,
+        sel_hist_meas=sel_hist_meas, sel_hist_mmsi=sel_hist_mmsi,
+        dead=term.dead, dead_reason=term.reason,
+        confirmed_mask=pr.confirmed_mask, confirmed_x=pr.confirmed_x,
+        confirmed_meas=pr.confirmed_meas, confirmed_mmsi=pr.confirmed_mmsi,
+        n_clusters=sel_res.n_clusters, sel_obj=sel_res.obj,
+        sel_bound=sel_res.bound, sel_feasible=sel_res.feasible,
+        n_leaves=jnp.sum(state.leaf_mask.astype(jnp.int32)),
+        used_meas=g.used_meas,
+    )
+    return state, init_state, outputs
+
+
+def _merge_new_targets(new_x, new_mask, new_mmsi, threshold):
+    """Greedy group-by-proximity merge: each candidate joins the first
+    candidate within ``threshold``; group representatives take the mean
+    state (reference _merge_targets/_merge_similar_targets)."""
+    K = new_x.shape[0]
+    d = jnp.linalg.norm(new_x[:, None, :2] - new_x[None, :, :2], axis=2)
+    close = (d < threshold) & new_mask[:, None] & new_mask[None, :]
+    first = jnp.argmax(close, axis=1)                      # min index close
+    rep = first == jnp.arange(K)                           # I'm my own rep
+    # member j belongs to representative first[j]
+    member_of = jax.nn.one_hot(first, K, dtype=jnp.float32) * new_mask[:, None]
+    counts = member_of.sum(axis=0)                         # [K] per rep
+    sums = member_of.T @ new_x                             # [K, 4]
+    mean_x = sums / jnp.maximum(counts[:, None], 1.0)
+    keep = new_mask & rep
+    out_x = jnp.where(keep[:, None], mean_x, new_x)
+    mmsi = jnp.where(keep, new_mmsi, 0)
+    return out_x, keep, mmsi
+
+
+@dataclasses.dataclass
+class TrackArchive:
+    """Host-side confirmed history of one track."""
+    track_id: int
+    times: list
+    states: list           # np [4]
+    meas: list             # int labels (0 missed, m>=1 radar)
+    mmsi: list
+    status: str = 'Active'
+
+
+class Tracker:
+    """Host-facing tracker with the reference's API shape.
+
+    Usage::
+
+        tracker = Tracker(shapes, params)
+        for scan in scans:
+            tracker.add_measurement_list(t, z)   # z: [n, 2] numpy
+        tracks = tracker.get_tracks()
+    """
+
+    def __init__(self, shapes: TrackerShapes = TrackerShapes(),
+                 params: TrackerParams = TrackerParams(),
+                 method: str = 'ipm', use_ais: bool = True,
+                 ais_initialization: bool = True):
+        self.shapes = shapes
+        self.params = params
+        self.method = method
+        self.state = empty_state(shapes, params)
+        self.init_state = initiator_mod.empty_initiator(shapes)
+        self.archives = {}          # id -> TrackArchive
+        self.terminated = {}        # id -> TrackArchive
+        self.scan_times = []
+        self.runtime_log = []
+        self.t0 = None
+        self._step = jax.jit(
+            lambda s, i, scan, ais: scan_step(
+                s, i, scan, ais, shapes, params, method=method,
+                use_ais=use_ais,
+                ais_initialization=ais_initialization))
+
+    # -- input padding ------------------------------------------------
+    def _pad_scan(self, t, z):
+        M = self.shapes.max_meas
+        z = np.asarray(z, np.float32).reshape(-1, 2)
+        n = min(len(z), M)
+        zp = np.zeros((M, 2), np.float32)
+        zp[:n] = z[:n]
+        mask = np.zeros((M,), bool)
+        mask[:n] = True
+        if len(z) > M:
+            import logging
+            logging.getLogger(__name__).warning(
+                "scan has %d measurements; capacity %d — dropping overflow",
+                len(z), M)
+        return Scan(z=jnp.asarray(zp), mask=jnp.asarray(mask),
+                    time=jnp.asarray(t, jnp.float32))
+
+    def _pad_ais(self, messages):
+        A = self.shapes.max_ais
+        if not messages:
+            return empty_ais(self.shapes)
+        st = np.zeros((A, 4), np.float32)
+        tm = np.zeros((A,), np.float32)
+        mm = np.zeros((A,), np.int32)
+        hi = np.zeros((A,), bool)
+        mask = np.zeros((A,), bool)
+        for i, m in enumerate(messages[:A]):
+            st[i] = np.asarray(m.state, np.float32)
+            tm[i] = float(m.time) - self.t0
+            mm[i] = int(m.mmsi)
+            hi[i] = bool(getattr(m, 'highAccuracy', False))
+            mask[i] = True
+        return AisBatch(state=jnp.asarray(st), time=jnp.asarray(tm),
+                        mmsi=jnp.asarray(mm), high_accuracy=jnp.asarray(hi),
+                        mask=jnp.asarray(mask))
+
+    # -- main entry (reference addMeasurementList) --------------------
+    def add_measurement_list(self, t, z, ais_messages=None, **kwargs):
+        import time as _time
+        tic = _time.time()
+        if self.t0 is None:
+            # device time is relative to the first scan for fp32 safety
+            self.t0 = float(t) - self.params.radar_period
+        t_rel = float(t) - self.t0
+        scan = self._pad_scan(t_rel, z)
+        ais = self._pad_ais(ais_messages or [])
+        self.state, self.init_state, out = self._step(
+            self.state, self.init_state, scan, ais)
+        self.scan_times.append(t_rel)
+        self._absorb_outputs(out, t_rel)
+        self.runtime_log.append(_time.time() - tic)
+        return out
+
+    # alias matching the reference name
+    addMeasurementList = add_measurement_list
+
+    def _absorb_outputs(self, out, t_rel):
+        W = self.shapes.window
+        ids = np.asarray(out.track_id)
+        mask = np.asarray(out.track_mask)
+        dead = np.asarray(out.dead)
+        reason = np.asarray(out.dead_reason)
+        conf_mask = np.asarray(out.confirmed_mask)
+        conf_x = np.asarray(out.confirmed_x)
+        conf_meas = np.asarray(out.confirmed_meas)
+        conf_mmsi = np.asarray(out.confirmed_mmsi)
+        sel_valid = np.asarray(out.sel_hist_valid)
+        sel_x = np.asarray(out.sel_hist_x)
+        sel_meas = np.asarray(out.sel_hist_meas)
+        sel_mmsi = np.asarray(out.sel_hist_mmsi)
+
+        # Window column w corresponds to scan index (n_scans-1) - (W-1-w).
+        n = len(self.scan_times)
+        col_time = lambda w: self.scan_times[n - 1 - (W - 1 - w)] \
+            if 0 <= n - 1 - (W - 1 - w) < n else None
+
+        reasons = {1: 'OutOfRange', 2: 'TooLowScore', 3: 'TooLowScore'}
+        for slot in np.nonzero(mask)[0]:
+            tid = int(ids[slot])
+            arch = self.archives.setdefault(tid, TrackArchive(
+                tid, [], [], [], []))
+            if dead[slot]:
+                # archive the whole remaining window (the reference keeps
+                # the selected spine of a terminated track)
+                for w in range(W):
+                    if sel_valid[slot, w]:
+                        arch.times.append(col_time(w))
+                        arch.states.append(sel_x[slot, w].copy())
+                        arch.meas.append(int(sel_meas[slot, w]))
+                        arch.mmsi.append(int(sel_mmsi[slot, w]))
+                arch.status = reasons.get(int(reason[slot]), 'Terminated')
+                self.terminated[tid] = arch
+                self.archives.pop(tid, None)
+            else:
+                for w in range(W):
+                    if conf_mask[slot, w]:
+                        arch.times.append(col_time(w))
+                        arch.states.append(conf_x[slot, w].copy())
+                        arch.meas.append(int(conf_meas[slot, w]))
+                        arch.mmsi.append(int(conf_mmsi[slot, w]))
+
+    # -- outputs ------------------------------------------------------
+    def get_tracks(self):
+        """Active tracks: id -> dict with confirmed history + current
+        window of the selected hypothesis."""
+        st = self.state
+        ids = np.asarray(st.tgt_id)
+        mask = np.asarray(st.tgt_mask)
+        sel = np.asarray(st.sel_leaf)
+        W = self.shapes.window
+        depth = np.asarray(st.tgt_depth)
+        hist_x = np.asarray(st.hist_x)
+        hist_meas = np.asarray(st.hist_meas)
+        n = len(self.scan_times)
+        tracks = {}
+        for slot in np.nonzero(mask)[0]:
+            tid = int(ids[slot])
+            arch = self.archives.get(tid)
+            window_states = [hist_x[slot, sel[slot], w]
+                             for w in range(W - depth[slot], W)]
+            window_times = [self.scan_times[n - 1 - (W - 1 - w)]
+                            for w in range(W - depth[slot], W)]
+            window_meas = [int(hist_meas[slot, sel[slot], w])
+                           for w in range(W - depth[slot], W)]
+            tracks[tid] = {
+                'confirmed_times': list(arch.times) if arch else [],
+                'confirmed_states': list(arch.states) if arch else [],
+                'confirmed_meas': list(arch.meas) if arch else [],
+                'window_times': window_times,
+                'window_states': window_states,
+                'window_meas': window_meas,
+            }
+        return tracks
+
+    def get_track_states(self):
+        """[n_active, 4] current best state per active track + ids."""
+        st = self.state
+        mask = np.asarray(st.tgt_mask)
+        sel = np.asarray(st.sel_leaf)
+        x = np.asarray(st.leaf_x)
+        ids = np.asarray(st.tgt_id)
+        slots = np.nonzero(mask)[0]
+        if len(slots) == 0:
+            return ids[:0], np.zeros((0, 4), np.float32)
+        return ids[slots], np.stack([x[s, sel[s]] for s in slots])

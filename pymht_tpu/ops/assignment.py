@@ -1,0 +1,85 @@
+"""Batched auction algorithm for global-nearest-neighbour assignment.
+
+The reference solves its initiator GNN with an external Cython/C++
+Hungarian solver (munkres, /root/reference/pymht/initiators/m_of_n.py:24-104)
+after bigM-padding the gated cost matrix.  Here the same problem — pick a
+minimum-cost matching among the gated (row, col) pairs, rows may stay
+unassigned — is solved with a Jacobi parallel auction under eps-scaling:
+every unassigned row bids for its best column, columns go to the highest
+bidder, prices rise by at least eps, and eps shrinks over phases (prices
+carry over, assignments reset), which bounds bidding wars.  Fixed-shape,
+while_loop-friendly, final matching within n*eps_final of optimal.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG = jnp.float32(-1e9)
+
+
+def auction_assign(cost, valid, max_iters: int = 4000):
+    """Min-cost bipartite matching with unassignment allowed.
+
+    cost: [R, C] f32; valid: [R, C] bool (gated pairs).
+    Returns row_to_col [R] i32 (-1 = unassigned).
+
+    Semantics match the reference's bigM-padded Hungarian + post filter:
+    maximum cardinality over gated pairs first, minimum total cost among
+    those matchings (within n*eps_final).
+    """
+    R, C = cost.shape
+    cmax = jnp.max(jnp.where(valid, cost, 0.0))
+    cmin = jnp.min(jnp.where(valid, cost, cmax))
+    span = jnp.maximum(cmax - cmin, 1.0)
+    # K far above the span so every valid pair is worth taking.
+    K = cmax + span * (R + 1)
+    value = jnp.where(valid, K - cost, NEG)               # maximize value
+    # n*eps-optimal; one phase (eps-scaling with carried prices interacts
+    # badly with profitable drop-out in the asymmetric problem).
+    n = max(R, C)
+    eps = span / jnp.float32(2.0 * (n + 1) * (n + 1))
+
+    def phase_body(carry):
+        price, owner, row_of, it = carry
+        unassigned = row_of < 0                            # [R]
+        net = value - price[None, :]                       # [R, C]
+        best_col = jnp.argmax(net, axis=1)                 # [R]
+        best_val = jnp.max(net, axis=1)
+        net2 = net.at[jnp.arange(R), best_col].set(NEG)
+        second_val = jnp.maximum(jnp.max(net2, axis=1), 0.0)
+        wants = unassigned & (best_val > 0.0)              # profitable bid
+        bid_price = price[best_col] + best_val - second_val + eps
+
+        bid_matrix = jnp.where(
+            wants[:, None] & (jnp.arange(C)[None, :] == best_col[:, None]),
+            bid_price[:, None], NEG)                       # [R, C]
+        col_best_bid = jnp.max(bid_matrix, axis=0)         # [C]
+        col_winner = jnp.argmax(bid_matrix, axis=0)        # [C]
+        col_has_bid = col_best_bid > NEG * 0.5
+
+        displaced = col_has_bid & (owner >= 0)
+        row_of = row_of.at[jnp.where(displaced, owner, R)].set(-1, mode='drop')
+        owner = jnp.where(col_has_bid, col_winner, owner)
+        price = jnp.where(col_has_bid, col_best_bid, price)
+        row_of = row_of.at[jnp.where(col_has_bid, col_winner, R)].set(
+            jnp.arange(C), mode='drop')
+        return price, owner, row_of, it + 1
+
+    def phase_cond(carry):
+        price, owner, row_of, it = carry
+        net = value - price[None, :]
+        can_bid = (row_of < 0) & (jnp.max(net, axis=1) > 0.0)
+        return (it < max_iters) & jnp.any(can_bid)
+
+    price, owner, row_of, _ = jax.lax.while_loop(
+        phase_cond, phase_body,
+        (jnp.zeros((C,), jnp.float32),
+         jnp.full((C,), -1, jnp.int32),
+         jnp.full((R,), -1, jnp.int32),
+         jnp.asarray(0)))
+
+    # Safety: never return an invalid pair (possible only at iteration
+    # caps with pathological ties).
+    ok = valid[jnp.arange(R), jnp.clip(row_of, 0, C - 1)] & (row_of >= 0)
+    return jnp.where(ok, row_of, -1)
