@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Headline benchmark: ms/scan for a 100-target high-clutter scan
+(gating + hypothesis-tree growth + global hypothesis selection ILP +
+pruning + initiation) on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "ms_per_scan_100tgt_highclutter", "value": <ms>,
+   "unit": "ms", "vs_baseline": <10ms_target / value>, ...extras}
+
+The headline value times the device-resident streaming path (scans
+pre-buffered on device, lax.scan over them — the production pattern);
+``dispatch_ms_per_scan`` additionally reports one-dispatch-per-scan wall
+time, which on this axon-tunnel dev setup includes ~30 ms/dispatch relay
+latency that does not exist on directly-attached TPUs.
+
+The reference publishes no numbers (BASELINE.md); the comparison point
+is the BASELINE.json north-star budget of 10 ms/scan, so
+vs_baseline > 1 means the budget is beaten.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_TARGETS = int(os.environ.get("BENCH_TARGETS", "100"))
+N_SCANS = int(os.environ.get("BENCH_SCANS", "12"))
+BENCH_MEAS = int(os.environ.get("BENCH_MEAS", "512"))
+METHOD = os.environ.get("BENCH_METHOD", "lagrangian")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from pymht_tpu.core.config import TrackerShapes, TrackerParams
+    from pymht_tpu.core.tracker import Tracker, scan_many
+    from pymht_tpu.core.grow import Scan, empty_ais
+    from pymht_tpu.utils import simulator as sim
+
+    period = 2.5
+    radar_range = 2000.0
+    shapes = TrackerShapes(
+        max_targets=128, max_leaves=32, max_meas=BENCH_MEAS, max_ais=8,
+        window=7, max_prelim=64, max_initiators=BENCH_MEAS)
+    params = TrackerParams(radar_period=period, P_d=0.9,
+                           lambda_phi=2e-5, lambda_nu=1e-5, N=5,
+                           radar_range=radar_range)
+
+    rng = np.random.default_rng(1234)
+    targets = sim.generate_initial_targets(
+        rng, N_TARGETS, (0.0, 0.0), radar_range, 0.9, 0.1)
+    sim_list = sim.simulate_targets(rng, targets,
+                                    sim_time=N_SCANS * period, dt=period)
+    scans = sim.simulate_scans(rng, sim_list, period, sigma_R=2.5,
+                               lambda_phi=2e-5, radar_range=radar_range,
+                               p0=(0.0, 0.0), lambda_local=0.5)
+
+    # ---- path A: one dispatch per scan (includes tunnel latency) ----
+    tracker = Tracker(shapes, params, method=METHOD, use_ais=False,
+                      pipeline_outputs=True)
+    tracker.pre_initialize(scans[0].time - period,
+                           [t.state for t in targets])
+    times = []
+    for s in scans:
+        t0 = time.time()
+        out = tracker.add_measurement_list(s.time, s.measurements)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    tracker.flush()
+    dispatch_ms = float(np.median(times[2:]) * 1000.0)
+
+    # ---- path B: device-resident streaming via lax.scan -------------
+    M = shapes.max_meas
+    t0_base = scans[0].time - period
+    zb = np.zeros((N_SCANS, M, 2), np.float32)
+    mb = np.zeros((N_SCANS, M), bool)
+    tb = np.zeros((N_SCANS,), np.float32)
+    for i, s in enumerate(scans[:N_SCANS]):
+        n = min(len(s.measurements), M)
+        zb[i, :n] = s.measurements[:n]
+        mb[i, :n] = True
+        tb[i] = s.time - t0_base
+    scans_dev = Scan(z=jnp.asarray(zb), mask=jnp.asarray(mb),
+                     time=jnp.asarray(tb))
+    ais_dev = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (N_SCANS,) + x.shape),
+        empty_ais(shapes))
+
+    tracker2 = Tracker(shapes, params, method=METHOD, use_ais=False)
+    tracker2.pre_initialize(scans[0].time - period,
+                            [t.state for t in targets])
+    run = jax.jit(lambda st, ist, sc, a: scan_many(
+        st, ist, sc, a, shapes, params, method=METHOD, use_ais=False))
+    out = run(tracker2.state, tracker2.init_state, scans_dev, ais_dev)
+    jax.block_until_ready(out)
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        out = run(tracker2.state, tracker2.init_state, scans_dev, ais_dev)
+        jax.block_until_ready(out)
+        reps.append(time.time() - t0)
+    stream_ms = float(np.median(reps) / N_SCANS * 1000.0)
+
+    print(json.dumps({
+        "metric": "ms_per_scan_100tgt_highclutter",
+        "value": round(stream_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(10.0 / stream_ms, 4),
+        "dispatch_ms_per_scan": round(dispatch_ms, 3),
+        "n_targets": N_TARGETS,
+        "method": METHOD,
+    }))
+
+
+if __name__ == "__main__":
+    main()

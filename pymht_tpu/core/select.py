@@ -78,10 +78,12 @@ def target_usage(state: TrackerState, shapes: TrackerShapes):
     """[T, n_slots] bool: does any live leaf of target t use slot s?"""
     slots, n_slots = _slot_index(state, shapes)
     T, L, W, _ = slots.shape
-    oh = jax.nn.one_hot(slots.reshape(T, L, W * 2), n_slots + 1,
-                        dtype=jnp.float32)
-    use = jnp.einsum('tlks,tl->ts', oh, state.leaf_mask.astype(jnp.float32))
-    return (use[:, :n_slots] > 0), n_slots
+    s = jnp.where(state.leaf_mask[..., None, None], slots, n_slots)
+    flat_idx = (jnp.arange(T)[:, None, None, None] * (n_slots + 1)
+                + s).reshape(-1)
+    use = jnp.zeros((T * (n_slots + 1),), bool).at[flat_idx].set(True)
+    use = use.reshape(T, n_slots + 1)[:, :n_slots]
+    return use, n_slots
 
 
 # ----------------------------------------------------------------------
@@ -133,12 +135,13 @@ def select_ipm(state: TrackerState, shapes: TrackerShapes,
     slots, n_slots = _slot_index(state, shapes)
     n = T * L
 
-    # A_in [n_slots, n]: leaf uses slot (one-hot over both label kinds).
-    oh = jax.nn.one_hot(slots.reshape(T, L, W * 2), n_slots + 1,
-                        dtype=jnp.float32)
-    A_in = jnp.clip(oh.sum(axis=2), 0.0, 1.0)              # [T,L,S+1]
-    A_in = (A_in[..., :n_slots] * state.leaf_mask[..., None])
-    A_in = A_in.reshape(n, n_slots).T                      # [S, n]
+    # A_in [n_slots, n]: leaf uses slot — scatter, not one-hot (a dense
+    # one-hot over slots is O(T*L*W*S) memory).
+    s = jnp.where(state.leaf_mask[..., None, None], slots, n_slots)
+    col = jnp.arange(n).reshape(T, L)[..., None, None]     # [T,L,1,1]
+    flat_idx = (col * (n_slots + 1) + s).reshape(-1)
+    A_in = jnp.zeros((n * (n_slots + 1),), jnp.float32).at[flat_idx].set(1.0)
+    A_in = A_in.reshape(n, n_slots + 1)[:, :n_slots].T     # [S, n]
     # Keep every slot used by at least one leaf: within-target conflicts
     # across the window matter too (a measurement may be claimed by two
     # different targets' histories at different tree depths).
@@ -231,32 +234,48 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
         return jnp.where(state.tgt_mask,
                          f[jnp.arange(T), sel], 0.0).sum()
 
-    def body(i, carry):
-        lam, best_sel, best_obj, best_feas, best_lb = carry
+    def body(carry):
+        (it, lam, best_sel, best_obj, best_feas, best_lb, last_sel) = carry
         sel, lb = decode(lam)
         best_lb = jnp.maximum(best_lb, lb)
         cnt = usage_of(sel)
         # Subgradient of the dualised <=1 rows, restricted to rows that
         # are actually in play (unused rows keep lam at 0 via the clamp).
         g = jnp.where(cnt > 0, cnt - 1.0, 0.0)
-        sel_r, feas = repair(sel)
-        obj = obj_of(sel_r)
+        feas = ~jnp.any(cnt > 1.5)
+        obj = obj_of(sel)
         better = feas & ((obj < best_obj) | ~best_feas)
-        best_sel = jnp.where(better, sel_r, best_sel)
+        best_sel = jnp.where(better, sel, best_sel)
         best_obj = jnp.where(better, obj, best_obj)
         best_feas = best_feas | feas
         gnorm2 = jnp.maximum(jnp.dot(g, g), 1e-6)
         gap_est = jnp.where(best_feas, jnp.maximum(best_obj - lb, 1e-3), 1.0)
         step = theta * gap_est / gnorm2
         lam = jnp.maximum(0.0, lam + step * g)
-        return lam, best_sel, best_obj, best_feas, best_lb
+        return it + 1, lam, best_sel, best_obj, best_feas, best_lb, sel
 
-    init = (jnp.zeros((n_slots,), jnp.float32),
+    def cond(carry):
+        (it, lam, best_sel, best_obj, best_feas, best_lb, last_sel) = carry
+        gap = best_obj - best_lb
+        converged = best_feas & (gap <= 1e-4 * (1.0 + jnp.abs(best_obj)))
+        return (it < iters) & ~converged
+
+    init = (jnp.asarray(0), jnp.zeros((n_slots,), jnp.float32),
             jnp.zeros((T,), jnp.int32),
             jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(False),
-            jnp.asarray(-jnp.inf, jnp.float32))
-    lam, best_sel, best_obj, best_feas, best_lb = jax.lax.fori_loop(
-        0, iters, body, init)
+            jnp.asarray(-jnp.inf, jnp.float32),
+            jnp.zeros((T,), jnp.int32))
+    (_, lam, best_sel, best_obj, best_feas, best_lb,
+     last_sel) = jax.lax.while_loop(cond, body, init)
+
+    # Single repair pass on the final decode covers the never-feasible
+    # case; keep whichever incumbent is better.
+    sel_r, feas_r = repair(last_sel)
+    obj_r = obj_of(sel_r)
+    take_r = feas_r & ((obj_r < best_obj) | ~best_feas)
+    best_sel = jnp.where(take_r, sel_r, best_sel)
+    best_obj = jnp.where(take_r, obj_r, best_obj)
+    best_feas = best_feas | feas_r
 
     labels, n_clusters = cluster(state, shapes)
     return SelectionResult(sel=best_sel, feasible=best_feas, obj=best_obj,
@@ -264,10 +283,50 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
                            n_clusters=n_clusters)
 
 
+def _independent_best(state: TrackerState, shapes: TrackerShapes,
+                      params: TrackerParams):
+    """Per-target best leaf + feasibility of that joint choice.
+
+    When every target's independent minimum is conflict-free it is the
+    exact global optimum (the reference reaches the same conclusion by
+    handling singleton clusters with _selectBestHypothesis,
+    tracker.py:228-233).
+    """
+    T, L, W = state.hist_meas.shape
+    f = leaf_scores(state, params)
+    sel = jnp.argmin(f, axis=1)
+    obj = jnp.where(state.tgt_mask, jnp.min(f, axis=1), 0.0).sum()
+
+    slots, n_slots = _slot_index(state, shapes)
+    own = slots.reshape(T, L, W * 2)[jnp.arange(T), sel]   # [T, W*2]
+    own = jnp.where(state.tgt_mask[:, None], own, n_slots)
+    cnt = jnp.zeros((n_slots + 1,), jnp.float32).at[own.reshape(-1)].add(1.0)
+    feasible = ~jnp.any(cnt[:n_slots] > 1.5)
+    return sel, obj, feasible
+
+
 def select(state: TrackerState, shapes: TrackerShapes, params: TrackerParams,
-           method: str = 'ipm', **kw) -> SelectionResult:
-    if method == 'ipm':
-        return select_ipm(state, shapes, params, **kw)
-    if method == 'lagrangian':
-        return select_lagrangian(state, shapes, params, **kw)
-    raise ValueError(f"unknown selection method {method!r}")
+           method: str = 'ipm', fast_path: bool = True,
+           **kw) -> SelectionResult:
+    solver = {'ipm': select_ipm, 'lagrangian': select_lagrangian}
+    if method not in solver:
+        raise ValueError(f"unknown selection method {method!r}")
+    if not fast_path:
+        return solver[method](state, shapes, params, **kw)
+
+    # Fast path: if the per-target independent optima are conflict-free,
+    # they are the global optimum — skip the solver entirely.  Both
+    # branches of lax.cond compile, only the taken one executes.
+    sel0, obj0, feas0 = _independent_best(state, shapes, params)
+    labels, n_clusters = cluster(state, shapes)
+
+    def fast(_):
+        return SelectionResult(sel=sel0, feasible=jnp.asarray(True),
+                               obj=obj0, bound=obj0, labels=labels,
+                               n_clusters=n_clusters)
+
+    def slow(_):
+        res = solver[method](state, shapes, params, **kw)
+        return res._replace(labels=labels, n_clusters=n_clusters)
+
+    return jax.lax.cond(feas0, fast, slow, None)

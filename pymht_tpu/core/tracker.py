@@ -125,7 +125,7 @@ def scan_step(state: TrackerState,
                            new_mmsi, scan.time, params)
 
     outputs = StepOutputs(
-        track_mask=track_mask, track_id=track_id, track_x=track_x,
+        track_mask=track_mask, track_id=track_id, track_x=track_x,  # noqa: E126
         track_cnllr=track_cnllr,
         sel_hist_valid=sel_hist_valid, sel_hist_x=sel_hist_x,
         sel_hist_meas=sel_hist_meas, sel_hist_mmsi=sel_hist_mmsi,
@@ -160,6 +160,30 @@ def _merge_new_targets(new_x, new_mask, new_mmsi, threshold):
     return out_x, keep, mmsi
 
 
+def scan_many(state, init_state, scans: Scan, ais: AisBatch,
+              shapes: TrackerShapes, params: TrackerParams,
+              method: str = 'lagrangian', use_ais: bool = True,
+              ais_initialization: bool = True):
+    """Process a pre-uploaded batch of scans in ONE dispatch via
+    lax.scan (device-resident streaming: the production pattern where
+    radar frames buffer on device while the tracker computes).
+
+    scans/ais carry a leading time axis.  Returns (state, init_state,
+    stacked StepOutputs).
+    """
+    def body(carry, inp):
+        st, ist = carry
+        scan_t, ais_t = inp
+        st, ist, out = scan_step(st, ist, scan_t, ais_t, shapes, params,
+                                 method=method, use_ais=use_ais,
+                                 ais_initialization=ais_initialization)
+        return (st, ist), out
+
+    (state, init_state), outs = jax.lax.scan(
+        body, (state, init_state), (scans, ais))
+    return state, init_state, outs
+
+
 @dataclasses.dataclass
 class TrackArchive:
     """Host-side confirmed history of one track."""
@@ -185,44 +209,57 @@ class Tracker:
     def __init__(self, shapes: TrackerShapes = TrackerShapes(),
                  params: TrackerParams = TrackerParams(),
                  method: str = 'ipm', use_ais: bool = True,
-                 ais_initialization: bool = True):
+                 ais_initialization: bool = True,
+                 pipeline_outputs: bool = False):
         self.shapes = shapes
         self.params = params
         self.method = method
+        self.pipeline_outputs = pipeline_outputs
+        self._pending = None      # (device outputs, scan index)
         self.state = empty_state(shapes, params)
         self.init_state = initiator_mod.empty_initiator(shapes)
         self.archives = {}          # id -> TrackArchive
         self.terminated = {}        # id -> TrackArchive
         self.scan_times = []
+        self.scan_history = []      # raw numpy measurements per scan
         self.runtime_log = []
         self.t0 = None
-        self._step = jax.jit(
-            lambda s, i, scan, ais: scan_step(
-                s, i, scan, ais, shapes, params, method=method,
-                use_ais=use_ais,
-                ais_initialization=ais_initialization))
+        self._empty_ais = empty_ais(shapes)   # constant, uploaded once
+
+        def _unpack_and_step(s, i, packed, ais):
+            # packed: [M+1, 2] f32 — rows 0..M-1 measurements, row M is
+            # (count, time).  One host->device transfer per scan.
+            M = shapes.max_meas
+            z = packed[:M]
+            count = packed[M, 0].astype(jnp.int32)
+            t = packed[M, 1]
+            mask = jnp.arange(M) < count
+            scan = Scan(z=z, mask=mask, time=t)
+            return scan_step(s, i, scan, ais, shapes, params,
+                             method=method, use_ais=use_ais,
+                             ais_initialization=ais_initialization)
+
+        self._step = jax.jit(_unpack_and_step)
 
     # -- input padding ------------------------------------------------
     def _pad_scan(self, t, z):
         M = self.shapes.max_meas
         z = np.asarray(z, np.float32).reshape(-1, 2)
         n = min(len(z), M)
-        zp = np.zeros((M, 2), np.float32)
-        zp[:n] = z[:n]
-        mask = np.zeros((M,), bool)
-        mask[:n] = True
+        packed = np.zeros((M + 1, 2), np.float32)
+        packed[:n] = z[:n]
+        packed[M] = (n, t)
         if len(z) > M:
             import logging
             logging.getLogger(__name__).warning(
                 "scan has %d measurements; capacity %d — dropping overflow",
                 len(z), M)
-        return Scan(z=jnp.asarray(zp), mask=jnp.asarray(mask),
-                    time=jnp.asarray(t, jnp.float32))
+        return jnp.asarray(packed)
 
     def _pad_ais(self, messages):
         A = self.shapes.max_ais
         if not messages:
-            return empty_ais(self.shapes)
+            return self._empty_ais
         st = np.zeros((A, 4), np.float32)
         tm = np.zeros((A,), np.float32)
         mm = np.zeros((A,), np.int32)
@@ -238,6 +275,26 @@ class Tracker:
                         mmsi=jnp.asarray(mm), high_accuracy=jnp.asarray(hi),
                         mask=jnp.asarray(mask))
 
+    def pre_initialize(self, t, states, mmsi=None):
+        """Seed confirmed targets from known initial states (reference
+        preInitialize, tracker.py:139-145)."""
+        if self.t0 is None:
+            self.t0 = float(t) - self.params.radar_period
+        K = len(states)
+        T = self.shapes.max_targets
+        x = np.zeros((max(K, 1), 4), np.float32)
+        x[:K] = np.asarray(states, np.float32)
+        P0 = np.broadcast_to(np.asarray(pv.P0), (max(K, 1), 4, 4))
+        mask = np.zeros((max(K, 1),), bool)
+        mask[:K] = True
+        mm = np.zeros((max(K, 1),), np.int32)
+        if mmsi is not None:
+            mm[:K] = np.asarray(mmsi, np.int32)
+        self.state = insert_targets(
+            self.state, jnp.asarray(x), jnp.asarray(np.array(P0)),
+            jnp.asarray(mask), jnp.asarray(mm),
+            jnp.asarray(float(t) - self.t0, jnp.float32), self.params)
+
     # -- main entry (reference addMeasurementList) --------------------
     def add_measurement_list(self, t, z, ais_messages=None, **kwargs):
         import time as _time
@@ -246,35 +303,56 @@ class Tracker:
             # device time is relative to the first scan for fp32 safety
             self.t0 = float(t) - self.params.radar_period
         t_rel = float(t) - self.t0
+        self.scan_history.append(np.asarray(z, np.float32).reshape(-1, 2))
         scan = self._pad_scan(t_rel, z)
         ais = self._pad_ais(ais_messages or [])
         self.state, self.init_state, out = self._step(
             self.state, self.init_state, scan, ais)
         self.scan_times.append(t_rel)
-        self._absorb_outputs(out, t_rel)
+        if self.pipeline_outputs:
+            # Absorb the PREVIOUS scan's outputs while the device works
+            # on this one (dispatch is async; the fetch overlaps).
+            if self._pending is not None:
+                prev_out, prev_n = self._pending
+                self._absorb_outputs(jax.device_get(prev_out),
+                                     n_scans=prev_n)
+            self._pending = (out, len(self.scan_times))
+            self.runtime_log.append(_time.time() - tic)
+            return out
+        # Single host transfer for the whole outputs tree (per-array
+        # fetches are murder through a remote-device tunnel).
+        out_np = jax.device_get(out)
+        self._absorb_outputs(out_np, n_scans=len(self.scan_times))
         self.runtime_log.append(_time.time() - tic)
-        return out
+        return out_np
+
+    def flush(self):
+        """Absorb any pipelined outputs still pending on device."""
+        if self._pending is not None:
+            prev_out, prev_n = self._pending
+            self._absorb_outputs(jax.device_get(prev_out), n_scans=prev_n)
+            self._pending = None
 
     # alias matching the reference name
     addMeasurementList = add_measurement_list
 
-    def _absorb_outputs(self, out, t_rel):
+    def _absorb_outputs(self, out, n_scans=None):
         W = self.shapes.window
-        ids = np.asarray(out.track_id)
-        mask = np.asarray(out.track_mask)
-        dead = np.asarray(out.dead)
-        reason = np.asarray(out.dead_reason)
-        conf_mask = np.asarray(out.confirmed_mask)
-        conf_x = np.asarray(out.confirmed_x)
-        conf_meas = np.asarray(out.confirmed_meas)
-        conf_mmsi = np.asarray(out.confirmed_mmsi)
-        sel_valid = np.asarray(out.sel_hist_valid)
-        sel_x = np.asarray(out.sel_hist_x)
-        sel_meas = np.asarray(out.sel_hist_meas)
-        sel_mmsi = np.asarray(out.sel_hist_mmsi)
+        ids = out.track_id
+        mask = out.track_mask
+        dead = out.dead
+        reason = out.dead_reason
+        conf_mask = out.confirmed_mask
+        conf_x = out.confirmed_x
+        conf_meas = out.confirmed_meas
+        conf_mmsi = out.confirmed_mmsi
+        sel_valid = out.sel_hist_valid
+        sel_x = out.sel_hist_x
+        sel_meas = out.sel_hist_meas
+        sel_mmsi = out.sel_hist_mmsi
 
         # Window column w corresponds to scan index (n_scans-1) - (W-1-w).
-        n = len(self.scan_times)
+        n = n_scans if n_scans is not None else len(self.scan_times)
         col_time = lambda w: self.scan_times[n - 1 - (W - 1 - w)] \
             if 0 <= n - 1 - (W - 1 - w) < n else None
 
@@ -335,6 +413,62 @@ class Tracker:
                 'window_meas': window_meas,
             }
         return tracks
+
+    def _track_measurement_sequences(self, include_terminated=False):
+        """Per track: (first_scan_idx, labels per scan) combining the
+        confirmed archive with the current selected window."""
+        n = len(self.scan_times)
+        seqs = {}
+        tracks = self.get_tracks()
+        for tid, tr in tracks.items():
+            times = tr['confirmed_times'] + tr['window_times']
+            labels = tr['confirmed_meas'] + tr['window_meas']
+            states = tr['confirmed_states'] + tr['window_states']
+            if not times:
+                continue
+            seqs[tid] = (times, labels, states)
+        if include_terminated:
+            for tid, arch in self.terminated.items():
+                if arch.times:
+                    seqs[tid] = (list(arch.times), list(arch.meas),
+                                 list(arch.states))
+        return seqs
+
+    def get_smooth_tracks(self, em_iters: int = 0,
+                          include_terminated: bool = False):
+        """RTS-smoothed (positions, velocities, ok) per track id —
+        reference getSmoothTracks (tracker.py:1273-1274,
+        pyTarget.py:580-609), pykalman EM+RTS replaced by the batched
+        lax.scan smoother."""
+        from ..ops.smoother import rts_smooth
+        time_to_idx = {t: i for i, t in enumerate(self.scan_times)}
+        out = {}
+        for tid, (times, labels, states) in \
+                self._track_measurement_sequences(include_terminated).items():
+            zs, mask = [], []
+            for t, lab in zip(times, labels):
+                idx = time_to_idx.get(t)
+                if idx is None or lab is None or lab < 1 \
+                        or lab - 1 >= len(self.scan_history[idx]):
+                    zs.append(np.zeros(2, np.float32))
+                    mask.append(False)
+                else:
+                    zs.append(self.scan_history[idx][lab - 1])
+                    mask.append(True)
+            if sum(mask) < 2:
+                pos = np.where(np.array(mask)[:, None], np.array(zs), np.nan)
+                out[tid] = (pos, np.full_like(pos, np.nan), False)
+                continue
+            x0 = np.asarray(states[0], np.float32)
+            xs, _ = rts_smooth(jnp.asarray(x0), pv.P0,
+                               jnp.asarray(np.array(zs, np.float32)),
+                               jnp.asarray(np.array(mask)),
+                               self.params.radar_period, em_iters=em_iters)
+            xs = np.asarray(xs)
+            out[tid] = (xs[:, :2], xs[:, 2:], True)
+        return out
+
+    getSmoothTracks = get_smooth_tracks
 
     def get_track_states(self):
         """[n_active, 4] current best state per active track + ids."""

@@ -1,0 +1,152 @@
+"""XML persistence compatible with the reference's result format.
+
+Reimplements the reference's write-only export path — ground-truth
+scenarios (classDefinitions.py:346-386 storeGroundTruth), tracker
+configuration (tracker.py:1475-1498 _storeTrackerArgs) and per-run
+tracks with raw + smoothed states (tracker.py:1500-1545 _storeRun,
+pyTarget.py:745-829 _storeNode) — using the same tag vocabulary
+(utils/xmlDefinitions.py) so downstream analysis tooling written for the
+reference's XML keeps working.
+"""
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+# Tag vocabulary (data-format contract, reference xmlDefinitions.py)
+SCENARIO = "Scenario"
+GROUNDTRUTH = "groundtruth"
+SIMULATION = "Simulation"
+SCENARIO_SETTINGS = "Scenario-settings"
+TRACKER_SETTINGS = "Tracker-settings"
+RUN = "Run"
+RUNTIME = "Runtime"
+TRACK = "Track"
+STATES = "States"
+SMOOTHED_STATES = "SmoothedStates"
+STATE = "S"
+POSITION = "P"
+VELOCITY = "V"
+NORTH = "N"
+EAST = "E"
+MMSI = "mmsi"
+TIME = "t"
+MEAN = "mean"
+MIN = "min"
+MAX = "max"
+ID = "id"
+PD = "Pd"
+SIGMA_Q = "sigmaQ"
+SEED = "seed"
+LENGTH = "length"
+AIS_CLASS = "aisClass"
+PR = "Pr"
+STATUS = "status"
+TERMINATED = "terminated"
+N_SCANS = "nScans"
+RADAR_PERIOD = "radarPeriod"
+TIME_LOG_PRECISION = 6
+
+
+def write_element_to_file(path, element):
+    """reference helpFunctions.writeElementToFile:86-93."""
+    head, _ = os.path.split(path)
+    if head and not os.path.isdir(head):
+        os.makedirs(head)
+    ET.ElementTree(element).write(path)
+
+
+def _state_element(parent, t, x, status=None):
+    e = ET.SubElement(parent, STATE, attrib={TIME: str(t)})
+    pos = ET.SubElement(e, POSITION)
+    ET.SubElement(pos, NORTH).text = str(round(float(x[1]), 2))
+    ET.SubElement(pos, EAST).text = str(round(float(x[0]), 2))
+    vel = ET.SubElement(e, VELOCITY)
+    ET.SubElement(vel, NORTH).text = str(round(float(x[3]), 2))
+    ET.SubElement(vel, EAST).text = str(round(float(x[2]), 2))
+    if status and status != 'Active':
+        e.attrib[STATE] = status
+    return e
+
+
+def store_ground_truth(scenario_element, sim_list, p0, radar_range,
+                       radar_period, init_time):
+    """Ground-truth XML (reference SimList.storeGroundTruth)."""
+    gt = ET.SubElement(scenario_element, GROUNDTRUTH)
+    n_targets = len(sim_list[0])
+    for i in range(n_targets):
+        track = ET.SubElement(gt, TRACK, attrib={ID: str(i)})
+        states = ET.SubElement(track, STATES)
+        count = 0
+        for sample in sim_list:
+            tgt = sample[i]
+            in_range = tgt.in_range(p0, radar_range)
+            on_radar = ((tgt.time - init_time) % radar_period) == 0.0
+            if not (in_range and on_radar):
+                continue
+            count += 1
+            e = ET.SubElement(states, STATE,
+                              attrib={TIME: str(tgt.time),
+                                      PD: str(tgt.P_d)})
+            pos = ET.SubElement(e, POSITION)
+            st = tgt.cartesian_state()
+            ET.SubElement(pos, NORTH).text = str(round(float(st[1]), 2))
+            ET.SubElement(pos, EAST).text = str(round(float(st[0]), 2))
+            vel = ET.SubElement(e, VELOCITY)
+            ET.SubElement(vel, NORTH).text = str(round(float(st[3]), 2))
+            ET.SubElement(vel, EAST).text = str(round(float(st[2]), 2))
+            if tgt.mmsi is not None:
+                track.attrib[MMSI] = str(tgt.mmsi)
+                track.attrib[AIS_CLASS] = str(tgt.ais_class)
+                track.attrib[PR] = str(tgt.P_r)
+            states.attrib[SIGMA_Q] = str(tgt.sigma_Q)
+            track.attrib[LENGTH] = str(count)
+    return gt
+
+
+def store_tracker_settings(parent, shapes, params, **extra):
+    """Scenario/tracker configuration for reproducibility
+    (reference _storeTrackerArgs)."""
+    e = ET.SubElement(parent, TRACKER_SETTINGS)
+    import dataclasses
+    for field in dataclasses.fields(params):
+        e.attrib[field.name] = str(getattr(params, field.name))
+    for field in dataclasses.fields(shapes):
+        e.attrib[field.name] = str(getattr(shapes, field.name))
+    for k, v in extra.items():
+        e.attrib[str(k)] = str(v)
+    return e
+
+
+def store_run(parent, tracker, smooth=True, **attrib):
+    """Per-run tracks + runtimes (reference _storeRun/_storeNode)."""
+    run = ET.SubElement(parent, RUN,
+                        attrib={str(k): str(v) for k, v in attrib.items()})
+    if tracker.runtime_log:
+        rt = np.asarray(tracker.runtime_log)
+        ET.SubElement(run, RUNTIME, attrib={
+            MEAN: str(round(float(rt.mean()), TIME_LOG_PRECISION)),
+            MIN: str(round(float(rt.min()), TIME_LOG_PRECISION)),
+            MAX: str(round(float(rt.max()), TIME_LOG_PRECISION)),
+        })
+    smoothed = tracker.get_smooth_tracks(include_terminated=True) \
+        if smooth else {}
+    seqs = tracker._track_measurement_sequences(include_terminated=True)
+    statuses = {tid: a.status for tid, a in tracker.terminated.items()}
+    for tid, (times, labels, states) in seqs.items():
+        track = ET.SubElement(run, TRACK, attrib={ID: str(tid)})
+        track.attrib[LENGTH] = str(len(times))
+        if tid in statuses:
+            track.attrib[TERMINATED] = str(True)
+        raw = ET.SubElement(track, STATES)
+        for t, x in zip(times, states):
+            _state_element(raw, t, x, statuses.get(tid))
+        if smooth and tid in smoothed:
+            pos, vel, ok = smoothed[tid]
+            if ok:
+                sm = ET.SubElement(track, SMOOTHED_STATES)
+                for t, p, v in zip(times, pos, vel):
+                    _state_element(sm, t, np.concatenate([p, v]))
+    return run

@@ -1,0 +1,65 @@
+"""XML export round-trip tests (format compatibility with the reference)."""
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from pymht_tpu.core.config import TrackerShapes, TrackerParams
+from pymht_tpu.core.tracker import Tracker
+from pymht_tpu.utils import simulator as sim
+from pymht_tpu.utils import xml_io
+
+
+def _small_run(tmp_path):
+    period = 1.0
+    shapes = TrackerShapes(max_targets=8, max_leaves=16, max_meas=16,
+                           max_ais=2, window=6, max_prelim=8,
+                           max_initiators=16)
+    params = TrackerParams(radar_period=period, P_d=0.9, lambda_phi=1e-8,
+                           lambda_nu=1e-6, radar_range=500.0)
+    rng = np.random.default_rng(5)
+    targets = sim.generate_initial_targets(rng, 2, (0., 0.), 300.0, 0.9, 0.1)
+    sim_list = sim.simulate_targets(rng, targets, sim_time=8 * period,
+                                    dt=period)
+    scans = sim.simulate_scans(rng, sim_list, period, sigma_R=1.0,
+                               lambda_phi=0.0, radar_range=500.0,
+                               p0=(0., 0.), local_clutter=False,
+                               global_clutter=False)
+    tracker = Tracker(shapes, params, use_ais=False)
+    for s in scans:
+        tracker.add_measurement_list(s.time, s.measurements)
+    return tracker, sim_list, shapes, params
+
+
+def test_store_run_and_ground_truth(tmp_path):
+    tracker, sim_list, shapes, params = _small_run(tmp_path)
+    scenario = ET.Element(xml_io.SCENARIO)
+    xml_io.store_ground_truth(scenario, sim_list, (0., 0.), 500.0, 1.0, 0.0)
+    xml_io.store_tracker_settings(scenario, shapes, params, seed=5)
+    xml_io.store_run(scenario, tracker, smooth=True, i=0)
+    path = os.path.join(str(tmp_path), "out", "run.xml")
+    xml_io.write_element_to_file(path, scenario)
+    assert os.path.exists(path)
+
+    tree = ET.parse(path)
+    root = tree.getroot()
+    assert root.tag == xml_io.SCENARIO
+    gt = root.find(xml_io.GROUNDTRUTH)
+    assert gt is not None and len(gt.findall(xml_io.TRACK)) == 2
+    run = root.find(xml_io.RUN)
+    assert run is not None
+    tracks = run.findall(xml_io.TRACK)
+    assert len(tracks) >= 1
+    # states carry position/velocity with N/E children
+    st = tracks[0].find(xml_io.STATES).find(xml_io.STATE)
+    assert st.find(xml_io.POSITION).find(xml_io.NORTH) is not None
+    assert run.find(xml_io.RUNTIME) is not None
+
+
+def test_smooth_tracks_output_shapes(tmp_path):
+    tracker, sim_list, shapes, params = _small_run(tmp_path)
+    sm = tracker.get_smooth_tracks()
+    assert len(sm) >= 1
+    for tid, (pos, vel, ok) in sm.items():
+        assert pos.shape[1] == 2
+        assert vel.shape == pos.shape
