@@ -284,7 +284,14 @@ def grow(state: TrackerState,
     hx = jnp.roll(pgather(state.hist_x), -1, axis=2).at[:, :, -1].set(new_x)
     hist_x = jnp.where(new_mask[:, :, None, None], hx, 0.0)
 
+    # Roll the warm-started selection duals with the window: prices of
+    # the oldest scan's slots retire, the new scan's slots start at 0.
+    per_col = M + shapes.max_ais
+    lam = jnp.roll(state.lam.reshape(W, per_col), -1, axis=0)
+    lam = lam.at[-1].set(0.0).reshape(-1)
+
     new_state = state.replace(
+        lam=lam,
         leaf_x=jnp.where(new_mask[..., None], new_x, 0.0),
         leaf_P=jnp.where(new_mask[..., None, None], new_P, 0.0),
         leaf_cnllr=jnp.where(new_mask, top_scores, 0.0),

@@ -27,7 +27,7 @@ from flax import struct
 
 from ..models import pv, ais as ais_model
 from ..ops import kalman as k
-from ..ops.assignment import auction_assign
+from ..ops.assignment import auction_assign, greedy_assign
 from .config import TrackerShapes, TrackerParams
 from .grow import AisBatch
 
@@ -145,7 +145,7 @@ def step(state: InitiatorState,
     nis = k.nis(zt, S_inv)                                  # [P,M]
     dist = jnp.linalg.norm(zt, axis=2)
     gate = (nis <= gamma) & z_mask[None, :] & st.p_mask[:, None]
-    assign = auction_assign(dist, gate)                     # [P] -> meas or -1
+    assign = auction_assign(dist, gate, max_iters=300)      # [P] -> meas or -1
     assigned = assign >= 0
     am = jnp.clip(assign, 0, M - 1)
     x_upd = st.p_x + jnp.einsum('pij,pj->pi', K, zt[jnp.arange(P), am])
@@ -178,7 +178,7 @@ def step(state: InitiatorState,
     gate_d = params.max_speed * dt
     gate2 = (d_init <= gate_d) & un1[None, :] & st.i_mask[:, None] \
         & state.has_time
-    assign2 = auction_assign(d_init, gate2)                 # [I] -> meas or -1
+    assign2 = greedy_assign(d_init, gate2)                  # [I] -> meas or -1
     paired = assign2 >= 0
     am2 = jnp.clip(assign2, 0, M - 1)
     # two-point velocity init (m_of_n.py:455-463)

@@ -43,6 +43,7 @@ class SelectionResult(NamedTuple):
     bound: jnp.ndarray      # [] lower bound (gap certificate)
     labels: jnp.ndarray     # [T] cluster label per target
     n_clusters: jnp.ndarray  # [] number of clusters
+    lam: jnp.ndarray        # [S] final dual prices (warm start carrier)
 
 
 # ----------------------------------------------------------------------
@@ -166,7 +167,8 @@ def select_ipm(state: TrackerState, shapes: TrackerShapes,
     # objective.)
     labels, n_clusters = cluster(state, shapes)
     return SelectionResult(sel=sel, feasible=feas, obj=obj, bound=bound,
-                           labels=labels, n_clusters=n_clusters)
+                           labels=labels, n_clusters=n_clusters,
+                           lam=state.lam)
 
 
 # ----------------------------------------------------------------------
@@ -174,7 +176,7 @@ def select_ipm(state: TrackerState, shapes: TrackerShapes,
 # ----------------------------------------------------------------------
 
 def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
-                      params: TrackerParams, iters: int = 120,
+                      params: TrackerParams, iters: int = 60,
                       theta: float = 1.0) -> SelectionResult:
     """Subgradient ascent with gather/scatter duals — no matrices.
 
@@ -260,7 +262,7 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
         converged = best_feas & (gap <= 1e-4 * (1.0 + jnp.abs(best_obj)))
         return (it < iters) & ~converged
 
-    init = (jnp.asarray(0), jnp.zeros((n_slots,), jnp.float32),
+    init = (jnp.asarray(0), state.lam,
             jnp.zeros((T,), jnp.int32),
             jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(False),
             jnp.asarray(-jnp.inf, jnp.float32),
@@ -280,7 +282,7 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
     labels, n_clusters = cluster(state, shapes)
     return SelectionResult(sel=best_sel, feasible=best_feas, obj=best_obj,
                            bound=best_lb, labels=labels,
-                           n_clusters=n_clusters)
+                           n_clusters=n_clusters, lam=lam)
 
 
 def _independent_best(state: TrackerState, shapes: TrackerShapes,
@@ -323,7 +325,7 @@ def select(state: TrackerState, shapes: TrackerShapes, params: TrackerParams,
     def fast(_):
         return SelectionResult(sel=sel0, feasible=jnp.asarray(True),
                                obj=obj0, bound=obj0, labels=labels,
-                               n_clusters=n_clusters)
+                               n_clusters=n_clusters, lam=state.lam)
 
     def slow(_):
         res = solver[method](state, shapes, params, **kw)

@@ -53,7 +53,11 @@ class TrackerState(struct.PyTreeNode):
     # Globals ---------------------------------------------------------
     scan_idx: jnp.ndarray     # [] i32 — number of scans processed
     time: jnp.ndarray         # [] f32 — time of last processed scan
-    next_id: jnp.ndarray      # [] i32 — next track id to assign
+    next_id: jnp.ndarray     # [] i32 — next track id to assign
+    # Warm-started dual prices for the selection Lagrangian, one per
+    # single-use slot [W*(M+A)]; rolled with the history window each
+    # scan so scan-persistent conflicts keep their prices.
+    lam: jnp.ndarray          # [W*(M+A)] f32
 
 
 def empty_state(shapes: TrackerShapes, params: TrackerParams) -> TrackerState:
@@ -80,6 +84,7 @@ def empty_state(shapes: TrackerShapes, params: TrackerParams) -> TrackerState:
         scan_idx=jnp.asarray(0, i32),
         time=jnp.asarray(0.0, f32),
         next_id=jnp.asarray(0, i32),
+        lam=jnp.zeros((W * (shapes.max_meas + shapes.max_ais),), f32),
     )
 
 

@@ -75,7 +75,7 @@ def scan_step(state: TrackerState,
 
     # 2-3. cluster + global hypothesis selection ---------------------
     sel_res = select(state, shapes, params, method=method)
-    state = state.replace(sel_leaf=sel_res.sel)
+    state = state.replace(sel_leaf=sel_res.sel, lam=sel_res.lam)
 
     # snapshot of the selected track nodes (reference __trackNodes__)
     sel = sel_res.sel

@@ -83,3 +83,36 @@ def auction_assign(cost, valid, max_iters: int = 4000):
     # caps with pathological ties).
     ok = valid[jnp.arange(R), jnp.clip(row_of, 0, C - 1)] & (row_of >= 0)
     return jnp.where(ok, row_of, -1)
+
+
+def greedy_assign(cost, valid, rounds: int = 8):
+    """Parallel greedy matching: each round, unassigned rows claim their
+    cheapest free valid column; each contested column goes to its
+    cheapest claimant.  O(rounds) sequential steps — the bounded-latency
+    alternative to the auction for large low-stakes GNN instances
+    (uncontested pairs, the common spatial case, resolve in round one).
+    """
+    R, C = cost.shape
+    INF = jnp.float32(1e9)
+    c = jnp.where(valid, cost, INF)
+
+    def body(i, carry):
+        row_of, col_taken = carry
+        cc = jnp.where(col_taken[None, :], INF, c)
+        best_c = jnp.argmin(cc, axis=1)                    # [R]
+        best_v = jnp.min(cc, axis=1)
+        wants = (row_of < 0) & (best_v < INF * 0.5)
+        bid = jnp.where(
+            wants[:, None] & (jnp.arange(C)[None, :] == best_c[:, None]),
+            cost, INF)                                     # [R, C]
+        win_r = jnp.argmin(bid, axis=0)                    # [C]
+        has = jnp.min(bid, axis=0) < INF * 0.5
+        row_of = row_of.at[jnp.where(has, win_r, R)].set(
+            jnp.arange(C), mode='drop')
+        col_taken = col_taken | has
+        return row_of, col_taken
+
+    row_of, _ = jax.lax.fori_loop(
+        0, rounds, body,
+        (jnp.full((R,), -1, jnp.int32), jnp.zeros((C,), bool)))
+    return row_of
