@@ -237,7 +237,8 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
                          f[jnp.arange(T), sel], 0.0).sum()
 
     def body(carry):
-        (it, lam, best_sel, best_obj, best_feas, best_lb, last_sel) = carry
+        (it, lam, best_sel, best_obj, best_feas, best_lb, last_sel,
+         stale) = carry
         sel, lb = decode(lam)
         best_lb = jnp.maximum(best_lb, lb)
         cnt = usage_of(sel)
@@ -246,29 +247,37 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
         g = jnp.where(cnt > 0, cnt - 1.0, 0.0)
         feas = ~jnp.any(cnt > 1.5)
         obj = obj_of(sel)
-        better = feas & ((obj < best_obj) | ~best_feas)
+        better = feas & ((obj < best_obj - 1e-6) | ~best_feas)
         best_sel = jnp.where(better, sel, best_sel)
         best_obj = jnp.where(better, obj, best_obj)
         best_feas = best_feas | feas
+        # Stationarity: same feasible decode as last iteration, or no
+        # incumbent improvement — count staleness for the patience exit.
+        same = jnp.all(sel == last_sel)
+        stale = jnp.where(better, 0, stale + 1)
+        stale = jnp.where(feas & same, stale + 3, stale)
         gnorm2 = jnp.maximum(jnp.dot(g, g), 1e-6)
         gap_est = jnp.where(best_feas, jnp.maximum(best_obj - lb, 1e-3), 1.0)
         step = theta * gap_est / gnorm2
         lam = jnp.maximum(0.0, lam + step * g)
-        return it + 1, lam, best_sel, best_obj, best_feas, best_lb, sel
+        return (it + 1, lam, best_sel, best_obj, best_feas, best_lb, sel,
+                stale)
 
     def cond(carry):
-        (it, lam, best_sel, best_obj, best_feas, best_lb, last_sel) = carry
+        (it, lam, best_sel, best_obj, best_feas, best_lb, last_sel,
+         stale) = carry
         gap = best_obj - best_lb
         converged = best_feas & (gap <= 1e-4 * (1.0 + jnp.abs(best_obj)))
-        return (it < iters) & ~converged
+        patience_out = best_feas & (stale >= 6)
+        return (it < iters) & ~converged & ~patience_out
 
     init = (jnp.asarray(0), state.lam,
             jnp.zeros((T,), jnp.int32),
             jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(False),
             jnp.asarray(-jnp.inf, jnp.float32),
-            jnp.zeros((T,), jnp.int32))
+            jnp.full((T,), -1, jnp.int32), jnp.asarray(0))
     (_, lam, best_sel, best_obj, best_feas, best_lb,
-     last_sel) = jax.lax.while_loop(cond, body, init)
+     last_sel, _) = jax.lax.while_loop(cond, body, init)
 
     # Single repair pass on the final decode covers the never-feasible
     # case; keep whichever incumbent is better.

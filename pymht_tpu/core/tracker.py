@@ -222,6 +222,8 @@ class Tracker:
         self.terminated = {}        # id -> TrackArchive
         self.scan_times = []
         self.scan_history = []      # raw numpy measurements per scan
+        from ..utils.timing import RuntimeLog
+        self.runtime = RuntimeLog(radar_period=params.radar_period)
         self.runtime_log = []
         self.t0 = None
         self._empty_ais = empty_ais(shapes)   # constant, uploaded once
@@ -317,13 +319,17 @@ class Tracker:
                 self._absorb_outputs(jax.device_get(prev_out),
                                      n_scans=prev_n)
             self._pending = (out, len(self.scan_times))
-            self.runtime_log.append(_time.time() - tic)
+            dt_wall = _time.time() - tic
+            self.runtime_log.append(dt_wall)
+            self.runtime.record('Total', dt_wall)
             return out
         # Single host transfer for the whole outputs tree (per-array
         # fetches are murder through a remote-device tunnel).
         out_np = jax.device_get(out)
         self._absorb_outputs(out_np, n_scans=len(self.scan_times))
-        self.runtime_log.append(_time.time() - tic)
+        dt_wall = _time.time() - tic
+        self.runtime_log.append(dt_wall)
+        self.runtime.record('Total', dt_wall)
         return out_np
 
     def flush(self):
@@ -335,6 +341,16 @@ class Tracker:
 
     # alias matching the reference name
     addMeasurementList = add_measurement_list
+
+    def print_time_log(self):
+        """reference printTimeLog (tracker.py:1425-1464)."""
+        print(self.runtime.summary())
+
+    printTimeLog = print_time_log
+
+    def get_runtime_average(self):
+        """reference getRuntimeAverage (tracker.py:958-959)."""
+        return self.runtime.averages()
 
     def _absorb_outputs(self, out, n_scans=None):
         W = self.shapes.window
