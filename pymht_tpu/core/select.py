@@ -318,7 +318,7 @@ def _independent_best(state: TrackerState, shapes: TrackerShapes,
 
 def select(state: TrackerState, shapes: TrackerShapes, params: TrackerParams,
            method: str = 'ipm', fast_path: bool = True,
-           **kw) -> SelectionResult:
+           compute_clusters: bool = True, **kw) -> SelectionResult:
     solver = {'ipm': select_ipm, 'lagrangian': select_lagrangian}
     if method not in solver:
         raise ValueError(f"unknown selection method {method!r}")
@@ -329,7 +329,14 @@ def select(state: TrackerState, shapes: TrackerShapes, params: TrackerParams,
     # they are the global optimum — skip the solver entirely.  Both
     # branches of lax.cond compile, only the taken one executes.
     sel0, obj0, feas0 = _independent_best(state, shapes, params)
-    labels, n_clusters = cluster(state, shapes)
+    if compute_clusters:
+        labels, n_clusters = cluster(state, shapes)
+    else:
+        # Cluster labels are observability, not needed for selection —
+        # skip the adjacency matmul + label propagation in the hot path.
+        T = state.tgt_mask.shape[0]
+        labels = jnp.zeros((T,), jnp.int32)
+        n_clusters = jnp.asarray(-1, jnp.int32)
 
     def fast(_):
         return SelectionResult(sel=sel0, feasible=jnp.asarray(True),

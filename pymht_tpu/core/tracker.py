@@ -64,7 +64,9 @@ def scan_step(state: TrackerState,
               params: TrackerParams,
               method: str = 'ipm',
               use_ais: bool = True,
-              ais_initialization: bool = True):
+              ais_initialization: bool = True,
+              prune_similar: bool = False,
+              compute_clusters: bool = True):
     """One radar scan through the full pipeline (pure, jittable)."""
     T, L, W = state.hist_meas.shape
     tb = jnp.arange(T)
@@ -72,9 +74,13 @@ def scan_step(state: TrackerState,
     # 1. grow ---------------------------------------------------------
     g = grow(state, scan, ais if use_ais else None, shapes, params)
     state = g.state
+    if prune_similar:
+        from .merge import prune_similar as _ps
+        state = _ps(state, shapes, params)
 
     # 2-3. cluster + global hypothesis selection ---------------------
-    sel_res = select(state, shapes, params, method=method)
+    sel_res = select(state, shapes, params, method=method,
+                     compute_clusters=compute_clusters)
     state = state.replace(sel_leaf=sel_res.sel, lam=sel_res.lam)
 
     # snapshot of the selected track nodes (reference __trackNodes__)
@@ -163,7 +169,8 @@ def _merge_new_targets(new_x, new_mask, new_mmsi, threshold):
 def scan_many(state, init_state, scans: Scan, ais: AisBatch,
               shapes: TrackerShapes, params: TrackerParams,
               method: str = 'lagrangian', use_ais: bool = True,
-              ais_initialization: bool = True):
+              ais_initialization: bool = True,
+              compute_clusters: bool = False):
     """Process a pre-uploaded batch of scans in ONE dispatch via
     lax.scan (device-resident streaming: the production pattern where
     radar frames buffer on device while the tracker computes).
@@ -176,7 +183,8 @@ def scan_many(state, init_state, scans: Scan, ais: AisBatch,
         scan_t, ais_t = inp
         st, ist, out = scan_step(st, ist, scan_t, ais_t, shapes, params,
                                  method=method, use_ais=use_ais,
-                                 ais_initialization=ais_initialization)
+                                 ais_initialization=ais_initialization,
+                                 compute_clusters=compute_clusters)
         return (st, ist), out
 
     (state, init_state), outs = jax.lax.scan(
@@ -210,11 +218,14 @@ class Tracker:
                  params: TrackerParams = TrackerParams(),
                  method: str = 'ipm', use_ais: bool = True,
                  ais_initialization: bool = True,
-                 pipeline_outputs: bool = False):
+                 pipeline_outputs: bool = False,
+                 prune_similar: bool = False,
+                 dynamic_window: bool = False):
         self.shapes = shapes
         self.params = params
         self.method = method
         self.pipeline_outputs = pipeline_outputs
+        self.dynamic_window = dynamic_window
         self._pending = None      # (device outputs, scan index)
         self.state = empty_state(shapes, params)
         self.init_state = initiator_mod.empty_initiator(shapes)
@@ -239,7 +250,8 @@ class Tracker:
             scan = Scan(z=z, mask=mask, time=t)
             return scan_step(s, i, scan, ais, shapes, params,
                              method=method, use_ais=use_ais,
-                             ais_initialization=ais_initialization)
+                             ais_initialization=ais_initialization,
+                             prune_similar=prune_similar)
 
         self._step = jax.jit(_unpack_and_step)
 

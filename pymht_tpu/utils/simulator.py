@@ -47,6 +47,35 @@ class SimTarget:
 
 
 @dataclasses.dataclass
+class SimTargetPolar(SimTarget):
+    """Polar ground-truth target: state = [east, north, heading_deg,
+    speed]; heading/speed random walk (reference SimTargetPolar,
+    classDefinitions.py:153-238)."""
+    heading_change_mean: float = 0.0
+    sigma_hdg: float = 3.0
+    sigma_speed: float = 0.8
+
+    def cartesian_velocity(self):
+        theta = math.radians((90.0 - self.state[2] + 360.0) % 360.0)
+        return np.array([self.state[3] * math.cos(theta),
+                         self.state[3] * math.sin(theta)])
+
+    def cartesian_state(self):
+        return np.concatenate([self.state[:2], self.cartesian_velocity()])
+
+    def speed_ms(self):
+        return float(self.state[3])
+
+    def step(self, rng, dt):
+        nxt = self.state.copy()
+        nxt[:2] += dt * self.cartesian_velocity()
+        nxt[2] = (nxt[2] + dt * rng.normal(self.heading_change_mean,
+                                           self.sigma_hdg) + 360.0) % 360.0
+        nxt[3] = max(0.0, nxt[3] + dt * rng.normal(0.0, self.sigma_speed))
+        return dataclasses.replace(self, state=nxt, time=self.time + dt)
+
+
+@dataclasses.dataclass
 class MeasurementList:
     time: float
     measurements: np.ndarray   # [n, 2] float32
@@ -102,17 +131,21 @@ def generate_initial_targets(rng, n_targets, center, radar_range, P_d,
 
 def simulate_targets(rng, initial, sim_time, dt):
     """Propagate truth with per-step process noise
-    (reference simulator.py:45-56)."""
+    (reference simulator.py:45-56).  Handles Cartesian (CV + process
+    noise) and polar (heading/speed random walk) targets."""
     sim_list = [initial]
     steps = int(math.ceil(sim_time / dt))
     F = _phi(dt)
     for _ in range(steps):
         nxt = []
         for tgt in sim_list[-1]:
-            Q = _q(dt, tgt.sigma_Q)
-            w = rng.multivariate_normal(np.zeros(4), Q)
-            nxt.append(dataclasses.replace(
-                tgt, state=F @ tgt.state + w, time=tgt.time + dt))
+            if isinstance(tgt, SimTargetPolar):
+                nxt.append(tgt.step(rng, dt))
+            else:
+                Q = _q(dt, tgt.sigma_Q)
+                w = rng.multivariate_normal(np.zeros(4), Q)
+                nxt.append(dataclasses.replace(
+                    tgt, state=F @ tgt.state + w, time=tgt.time + dt))
         sim_list.append(nxt)
     return sim_list
 
