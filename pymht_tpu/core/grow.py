@@ -175,7 +175,8 @@ def grow(state: TrackerState,
          scan: Scan,
          ais: Optional[AisBatch],
          shapes: TrackerShapes,
-         params: TrackerParams) -> GrowOutputs:
+         params: TrackerParams,
+         use_gate_kernel: Optional[bool] = None) -> GrowOutputs:
     """Advance every target's hypothesis forest by one scan."""
     T, L, W = state.hist_meas.shape
     M = shapes.max_meas
@@ -185,19 +186,43 @@ def grow(state: TrackerState,
     C = pv.C_RADAR
     R = pv.R_RADAR()
 
-    (x_bar, P_bar, z_hat, S, K, P_hat,
-     zt, nis, gate, nllr_m) = _radar_candidates(
-        state, scan, params, A_mat, Q_mat, C, R)
+    if use_gate_kernel is None:
+        use_gate_kernel = jax.default_backend() == 'tpu'
 
-    # --- candidate scores -------------------------------------------
-    # slot 0: zero hypothesis; slots 1..M: radar measurements.
-    zero_score = jnp.where(state.leaf_mask,
-                           state.leaf_cnllr + k.nllr_missed(state.tgt_pd)[:, None],
-                           BIG)                                      # [T,L]
-    meas_score = jnp.where(gate, state.leaf_cnllr[:, :, None] + nllr_m,
-                           BIG)                                      # [T,L,M]
-    cand_scores = jnp.concatenate(
-        [zero_score[:, :, None], meas_score], axis=2)                # [T,L,1+M]
+    if use_gate_kernel:
+        # Fused Pallas kernel: predict + gate + score in one VMEM pass.
+        from ..ops.gate_kernel import gate_and_score_pallas
+        pd_leaf = jnp.broadcast_to(state.tgt_pd[:, None], (T, L))
+        scores_f, x_bar_f, P_bar_f = gate_and_score_pallas(
+            state.leaf_x.reshape(T * L, 4),
+            state.leaf_P.reshape(T * L, 4, 4),
+            state.leaf_cnllr.reshape(T * L),
+            pd_leaf.reshape(T * L),
+            state.leaf_mask.reshape(T * L),
+            scan.z, scan.mask,
+            scan.time - state.time, 1.0, float(R[0, 0]),
+            params.eta2, params.lambda_ex)
+        cand_scores = scores_f.reshape(T, L, 1 + M)
+        x_bar = x_bar_f.reshape(T, L, 4)
+        P_bar = P_bar_f.reshape(T, L, 4, 4)
+        _, S, _, K, P_hat = k.precalc(C, R, x_bar, P_bar)
+        gate = cand_scores[:, :, 1:] < BIG * 0.5
+    else:
+        (x_bar, P_bar, z_hat, S, K, P_hat,
+         zt, nis, gate, nllr_m) = _radar_candidates(
+            state, scan, params, A_mat, Q_mat, C, R)
+
+        # --- candidate scores ---------------------------------------
+        # slot 0: zero hypothesis; slots 1..M: radar measurements.
+        zero_score = jnp.where(
+            state.leaf_mask,
+            state.leaf_cnllr + k.nllr_missed(state.tgt_pd)[:, None],
+            BIG)                                                 # [T,L]
+        meas_score = jnp.where(gate,
+                               state.leaf_cnllr[:, :, None] + nllr_m,
+                               BIG)                              # [T,L,M]
+        cand_scores = jnp.concatenate(
+            [zero_score[:, :, None], meas_score], axis=2)        # [T,L,1+M]
 
     use_ais = ais is not None
     if use_ais:
@@ -240,7 +265,10 @@ def grow(state: TrackerState,
     x_bar_p = x_bar[tb, parent]                                      # [T,L,4]
     P_bar_p = P_bar[tb, parent]
     K_p = K[tb, parent]                                              # [T,L,4,2]
-    zt_p = zt[tb, parent, radar_m]                                   # [T,L,2]
+    # Residual of the selected candidate, recomputed directly (cheaper
+    # than carrying/gathering the [T,L,M,2] residual tensor, and the
+    # kernel path never materialises it).
+    zt_p = scan.z[radar_m] - x_bar_p[..., :2]                        # [T,L,2]
     x_radar = x_bar_p + jnp.einsum('tlij,tlj->tli', K_p, zt_p)
     P_radar = P_hat[tb, parent]
 
