@@ -53,6 +53,7 @@ class StepOutputs(NamedTuple):
     sel_bound: jnp.ndarray      # [] f32
     sel_feasible: jnp.ndarray   # [] bool
     n_leaves: jnp.ndarray       # [] i32
+    leaf_counts: jnp.ndarray    # [T] i32 — live leaves per target
     used_meas: jnp.ndarray      # [M] bool
 
 
@@ -141,6 +142,7 @@ def scan_step(state: TrackerState,
         n_clusters=sel_res.n_clusters, sel_obj=sel_res.obj,
         sel_bound=sel_res.bound, sel_feasible=sel_res.feasible,
         n_leaves=jnp.sum(state.leaf_mask.astype(jnp.int32)),
+        leaf_counts=jnp.sum(state.leaf_mask.astype(jnp.int32), axis=1),
         used_meas=g.used_meas,
     )
     return state, init_state, outputs
@@ -342,7 +344,27 @@ class Tracker:
         dt_wall = _time.time() - tic
         self.runtime_log.append(dt_wall)
         self.runtime.record('Total', dt_wall)
+        if self.dynamic_window:
+            self._dynamic_window(dt_wall, out_np.leaf_counts)
         return out_np
+
+    def _dynamic_window(self, dt_wall, leaf_counts):
+        """Graceful degradation under load (reference __dynamicWindow,
+        tracker.py:918-950): shrink a target's window when its
+        hypothesis beam saturates, and the global window roof when the
+        whole scan exceeds 80% of the radar period."""
+        L = self.shapes.max_leaves
+        tw = np.asarray(self.state.tgt_window)
+        saturated = np.asarray(leaf_counts) >= L
+        if saturated.any():
+            tw = np.where(saturated, np.maximum(tw - 1, 1), tw)
+        # Ignore the first scans: their wall time is dominated by XLA
+        # compilation, not steady-state load.
+        if dt_wall > 0.8 * self.params.radar_period \
+                and len(self.scan_times) > 2:
+            self._n_roof = max(1, getattr(self, '_n_roof', self.params.N) - 1)
+            tw = np.minimum(tw, self._n_roof)
+        self.state = self.state.replace(tgt_window=jnp.asarray(tw))
 
     def flush(self):
         """Absorb any pipelined outputs still pending on device."""
