@@ -200,7 +200,8 @@ def grow(state: TrackerState,
             pd_leaf.reshape(T * L),
             state.leaf_mask.reshape(T * L),
             scan.z, scan.mask,
-            scan.time - state.time, 1.0, float(R[0, 0]),
+            scan.time - state.time, 1.0,
+            float(pv.sigmaR_RADAR_tracker) ** 2,
             params.eta2, params.lambda_ex)
         cand_scores = scores_f.reshape(T, L, 1 + M)
         x_bar = x_bar_f.reshape(T, L, 4)

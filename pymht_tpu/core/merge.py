@@ -12,7 +12,6 @@ group's minimum-cnllr label and the others free their beam slots.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .config import TrackerShapes, TrackerParams

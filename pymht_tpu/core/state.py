@@ -26,7 +26,6 @@ import jax.numpy as jnp
 from flax import struct
 
 from .config import TrackerShapes, TrackerParams
-from ..models import pv
 
 
 class TrackerState(struct.PyTreeNode):
