@@ -187,7 +187,12 @@ def grow(state: TrackerState,
     R = pv.R_RADAR()
 
     if use_gate_kernel is None:
-        use_gate_kernel = jax.default_backend() == 'tpu'
+        # Opt-in for now: the XLA-fused path is within noise of the
+        # Mosaic kernel at current shapes (the pipeline is latency- not
+        # bandwidth-bound); flip via scan_step(use_gate_kernel=True) or
+        # the PYMHT_TPU_GATE_KERNEL env var.
+        import os
+        use_gate_kernel = os.environ.get('PYMHT_TPU_GATE_KERNEL') == '1'
 
     if use_gate_kernel:
         # Fused Pallas kernel: predict + gate + score in one VMEM pass.

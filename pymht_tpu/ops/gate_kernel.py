@@ -162,32 +162,25 @@ def gate_and_score_pallas(x, P, cnllr, pd, mask, z, zmask,
         jax.ShapeDtypeStruct((N, 4), jnp.float32),
         jax.ShapeDtypeStruct((N, 16), jnp.float32),
     )
+    # Plain blocked specs: blocks are pipelined HBM->VMEM per grid step
+    # (pinning whole arrays with an explicit VMEM memory_space blows the
+    # 16M scoped-vmem budget at production shapes).
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((tile_n, 4), lambda i, p: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, 16), lambda i, p: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, 1), lambda i, p: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, 1), lambda i, p: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, 1), lambda i, p: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, 2), lambda i, p: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, 1), lambda i, p: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 4), lambda i, p: (i, 0)),
+            pl.BlockSpec((tile_n, 16), lambda i, p: (i, 0)),
+            pl.BlockSpec((tile_n, 1), lambda i, p: (i, 0)),
+            pl.BlockSpec((tile_n, 1), lambda i, p: (i, 0)),
+            pl.BlockSpec((tile_n, 1), lambda i, p: (i, 0)),
+            pl.BlockSpec((M, 2), lambda i, p: (0, 0)),
+            pl.BlockSpec((M, 1), lambda i, p: (0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((tile_n, M + 1), lambda i, p: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, 4), lambda i, p: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, 16), lambda i, p: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, M + 1), lambda i, p: (i, 0)),
+            pl.BlockSpec((tile_n, 4), lambda i, p: (i, 0)),
+            pl.BlockSpec((tile_n, 16), lambda i, p: (i, 0)),
         ),
         scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
     )
@@ -196,6 +189,8 @@ def gate_and_score_pallas(x, P, cnllr, pd, mask, z, zmask,
         out_shape=out_shapes,
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(params,
       x.astype(jnp.float32),
       P.reshape(N, 16).astype(jnp.float32),
