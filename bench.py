@@ -64,13 +64,23 @@ def main():
     tracker.pre_initialize(scans[0].time - period,
                            [t.state for t in targets])
     times = []
+    outs = []
     for s in scans:
         t0 = time.time()
         out = tracker.add_measurement_list(s.time, s.measurements)
         jax.block_until_ready(out)
         times.append(time.time() - t0)
+        outs.append(out)
     tracker.flush()
     dispatch_ms = float(np.median(times[2:]) * 1000.0)
+    # Optimality-gap certificates (obj vs dual bound), fetched after the
+    # timed loop so the sync does not pollute the timing.
+    gaps = []
+    for out in outs:
+        obj, bound = float(out.sel_obj), float(out.sel_bound)
+        if np.isfinite(obj) and np.isfinite(bound):
+            gaps.append((obj - bound) / max(1.0, abs(bound)))
+    gap = float(np.median(gaps)) if gaps else 0.0
 
     # ---- path B: device-resident streaming via lax.scan -------------
     M = shapes.max_meas
@@ -110,6 +120,7 @@ def main():
         "unit": "ms",
         "vs_baseline": round(10.0 / stream_ms, 4),
         "dispatch_ms_per_scan": round(dispatch_ms, 3),
+        "median_opt_gap": round(gap, 6),
         "n_targets": N_TARGETS,
         "method": METHOD,
     }))

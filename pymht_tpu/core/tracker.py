@@ -520,6 +520,40 @@ class Tracker:
 
     getSmoothTracks = get_smooth_tracks
 
+    def check_integrity(self):
+        """Structural invariants of the forest state (reference
+        _checkTrackerIntegrity, tracker.py:1241-1271).  Raises
+        AssertionError on violation."""
+        from ..utils.integrity import check_state_integrity
+        check_state_integrity(self)
+
+    checkIntegrity = check_integrity
+
+    def get_track_nodes(self):
+        """reference getTrackNodes (tracker.py:976-977): current best
+        state per active track."""
+        ids, states = self.get_track_states()
+        return {int(i): s for i, s in zip(ids, states)}
+
+    getTrackNodes = get_track_nodes
+
+    def compare_tracks_with_truth(self, truth_states):
+        """reference _compareTracksWithTruth (tracker.py:952-956): NEES
+        of each active track against a paired truth state."""
+        st = self.state
+        mask = np.asarray(st.tgt_mask)
+        sel = np.asarray(st.sel_leaf)
+        xs = np.asarray(st.leaf_x)
+        Ps = np.asarray(st.leaf_P)
+        out = []
+        slots = np.nonzero(mask)[0]
+        for slot, xt in zip(slots, truth_states):
+            d = xs[slot, sel[slot]] - np.asarray(xt)
+            Pi = np.linalg.inv(Ps[slot, sel[slot]]
+                               + 1e-9 * np.eye(4))
+            out.append(float(d @ Pi @ d))
+        return out
+
     def get_track_states(self):
         """[n_active, 4] current best state per active track + ids."""
         st = self.state
