@@ -59,10 +59,16 @@ def main():
                                p0=(0.0, 0.0), lambda_local=0.5)
 
     # ---- path A: one dispatch per scan (includes tunnel latency) ----
+    def seed_states():
+        # targets' states are valid at scans[0].time; the tracker seeds
+        # one period earlier, so back-propagate them.
+        F_inv = np.eye(4)
+        F_inv[0, 2] = F_inv[1, 3] = -period
+        return [F_inv @ t.state for t in targets]
+
     tracker = Tracker(shapes, params, method=METHOD, use_ais=False,
                       pipeline_outputs=True)
-    tracker.pre_initialize(scans[0].time - period,
-                           [t.state for t in targets])
+    tracker.pre_initialize(scans[0].time - period, seed_states())
     times = []
     outs = []
     for s in scans:
@@ -100,8 +106,7 @@ def main():
         empty_ais(shapes))
 
     tracker2 = Tracker(shapes, params, method=METHOD, use_ais=False)
-    tracker2.pre_initialize(scans[0].time - period,
-                            [t.state for t in targets])
+    tracker2.pre_initialize(scans[0].time - period, seed_states())
     run = jax.jit(lambda st, ist, sc, a: scan_many(
         st, ist, sc, a, shapes, params, method=METHOD, use_ais=False))
     out = run(tracker2.state, tracker2.init_state, scans_dev, ais_dev)

@@ -211,9 +211,10 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
         return cnt[:n_slots]
 
     def repair(sel):
-        """Ban-and-repick conflict resolution (gather-based)."""
-        def body(i, carry):
-            sel, banned = carry
+        """Ban-and-repick conflict resolution (gather-based), with an
+        early exit once conflict-free."""
+        def body(carry):
+            sel, banned, it, _ = carry
             cnt = usage_of(sel)
             over = cnt > 1.5
             over_pad = jnp.concatenate([over, jnp.zeros((1,), bool)])
@@ -226,9 +227,16 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
                                banned.at[worst, sel[worst]].set(True), banned)
             fb = jnp.where(banned, jnp.inf, f)
             sel = jnp.where(any_conf, jnp.argmin(fb, axis=1), sel)
-            return sel, banned
-        sel, _ = jax.lax.fori_loop(0, 16, body,
-                                   (sel, jnp.zeros((T, L), bool)))
+            return sel, banned, it + 1, any_conf
+
+        def cond(carry):
+            _, _, it, had_conf = carry
+            return (it < 16) & had_conf
+
+        sel, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (sel, jnp.zeros((T, L), bool), jnp.asarray(0),
+             jnp.asarray(True)))
         cnt = usage_of(sel)
         return sel, ~jnp.any(cnt > 1.5)
 
@@ -279,10 +287,18 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
     (_, lam, best_sel, best_obj, best_feas, best_lb,
      last_sel, _) = jax.lax.while_loop(cond, body, init)
 
-    # Single repair pass on the final decode covers the never-feasible
-    # case; keep whichever incumbent is better.
-    sel_r, feas_r = repair(last_sel)
-    obj_r = obj_of(sel_r)
+    # Repair only if the subgradient never produced a feasible decode
+    # (rare with warm-started duals) — lax.cond skips the whole repair
+    # loop otherwise.
+    def do_repair(_):
+        sel_r, feas_r = repair(last_sel)
+        return sel_r, feas_r, obj_of(sel_r)
+
+    def no_repair(_):
+        return best_sel, jnp.asarray(True), best_obj
+
+    sel_r, feas_r, obj_r = jax.lax.cond(best_feas, no_repair, do_repair,
+                                        None)
     take_r = feas_r & ((obj_r < best_obj) | ~best_feas)
     best_sel = jnp.where(take_r, sel_r, best_sel)
     best_obj = jnp.where(take_r, obj_r, best_obj)
