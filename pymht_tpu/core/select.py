@@ -210,28 +210,45 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
         cnt = cnt.at[s.reshape(-1)].add(1.0)
         return cnt[:n_slots]
 
-    def repair(sel):
-        """Ban-and-repick conflict resolution (gather-based), with an
-        early exit once conflict-free."""
+    def repair(sel, lam):
+        """Parallel keep-best-per-slot conflict resolution.
+
+        Per round: every over-used slot keeps its cheapest claimant
+        (deterministic index tiebreak); all other conflicted targets ban
+        their current leaf and repick by *reduced* cost (dual prices
+        already steer away from contested slots).  Resolves most
+        conflicts in 1-2 rounds vs the one-ban-per-round variant.
+        """
+        rc = reduced_cost(lam)
+        # Deterministic strict ordering for the keep decision only.
+        tiebreak = jnp.arange(T, dtype=jnp.float32) * 1e-6
+
         def body(carry):
             sel, banned, it, _ = carry
             cnt = usage_of(sel)
             over = cnt > 1.5
             over_pad = jnp.concatenate([over, jnp.zeros((1,), bool)])
-            own = slots_flat[jnp.arange(T), sel]           # [T, W*2]
+            own = jnp.where(state.tgt_mask[:, None],
+                            slots_flat[jnp.arange(T), sel], n_slots)
+            fsel = f[jnp.arange(T), sel] + tiebreak        # strict order
+            # cheapest claimant per slot (scatter-min over own slots)
+            claim = jnp.where(over_pad[own], fsel[:, None], jnp.inf)
+            slot_min = jnp.full((n_slots + 1,), jnp.inf)
+            slot_min = slot_min.at[own.reshape(-1)].min(claim.reshape(-1))
             in_conf = over_pad[own].any(axis=1) & state.tgt_mask
-            fsel = f[jnp.arange(T), sel]
-            worst = jnp.argmax(jnp.where(in_conf, fsel, -jnp.inf))
+            keeper = jnp.all(~over_pad[own]
+                             | (fsel[:, None] <= slot_min[own]), axis=1)
+            loser = in_conf & ~keeper
             any_conf = jnp.any(in_conf)
-            banned = jnp.where(any_conf,
-                               banned.at[worst, sel[worst]].set(True), banned)
-            fb = jnp.where(banned, jnp.inf, f)
-            sel = jnp.where(any_conf, jnp.argmin(fb, axis=1), sel)
+            banned = banned | (loser[:, None]
+                               & (jnp.arange(L)[None, :] == sel[:, None]))
+            rcb = jnp.where(banned, jnp.inf, rc)
+            sel = jnp.where(loser, jnp.argmin(rcb, axis=1), sel)
             return sel, banned, it + 1, any_conf
 
         def cond(carry):
             _, _, it, had_conf = carry
-            return (it < 16) & had_conf
+            return (it < 12) & had_conf
 
         sel, _, _, _ = jax.lax.while_loop(
             cond, body,
@@ -279,19 +296,26 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
         patience_out = best_feas & (stale >= 6)
         return (it < iters) & ~converged & ~patience_out
 
+    # Seed a feasible incumbent by repairing the warm-started decode:
+    # the patience/convergence exits can then fire within a handful of
+    # subgradient iterations instead of running the full budget.
+    sel_seed, lb_seed = decode(state.lam)
+    sel_seed, feas_seed = repair(sel_seed, state.lam)
+    obj_seed = jnp.where(feas_seed, obj_of(sel_seed),
+                         jnp.asarray(jnp.inf, jnp.float32))
+
     init = (jnp.asarray(0), state.lam,
-            jnp.zeros((T,), jnp.int32),
-            jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(False),
-            jnp.asarray(-jnp.inf, jnp.float32),
+            sel_seed, obj_seed, feas_seed,
+            lb_seed,
             jnp.full((T,), -1, jnp.int32), jnp.asarray(0))
     (_, lam, best_sel, best_obj, best_feas, best_lb,
      last_sel, _) = jax.lax.while_loop(cond, body, init)
 
-    # Repair only if the subgradient never produced a feasible decode
-    # (rare with warm-started duals) — lax.cond skips the whole repair
-    # loop otherwise.
+    # Repair only if no feasible incumbent exists (rare: the seed repair
+    # already succeeds unless the instance is over-constrained) —
+    # lax.cond skips the whole repair loop otherwise.
     def do_repair(_):
-        sel_r, feas_r = repair(last_sel)
+        sel_r, feas_r = repair(last_sel, lam)
         return sel_r, feas_r, obj_of(sel_r)
 
     def no_repair(_):
@@ -336,9 +360,9 @@ def select(state: TrackerState, shapes: TrackerShapes, params: TrackerParams,
            method: str = 'ipm', fast_path: bool = True,
            compute_clusters: bool = True, **kw) -> SelectionResult:
     solver = {'ipm': select_ipm, 'lagrangian': select_lagrangian}
-    if method not in solver:
+    if method not in solver and method != 'greedy':
         raise ValueError(f"unknown selection method {method!r}")
-    if not fast_path:
+    if not fast_path and method != 'greedy':
         return solver[method](state, shapes, params, **kw)
 
     # Fast path: if the per-target independent optima are conflict-free,
@@ -358,6 +382,11 @@ def select(state: TrackerState, shapes: TrackerShapes, params: TrackerParams,
         return SelectionResult(sel=sel0, feasible=jnp.asarray(True),
                                obj=obj0, bound=obj0, labels=labels,
                                n_clusters=n_clusters, lam=state.lam)
+
+    if method == 'greedy':
+        # Profiling / degraded mode: per-target independent best, no
+        # conflict resolution (feasibility reported honestly).
+        return fast(None)._replace(feasible=feas0)
 
     def slow(_):
         res = solver[method](state, shapes, params, **kw)

@@ -67,7 +67,8 @@ def scan_step(state: TrackerState,
               use_ais: bool = True,
               ais_initialization: bool = True,
               prune_similar: bool = False,
-              compute_clusters: bool = True):
+              compute_clusters: bool = True,
+              select_kw: Optional[dict] = None):
     """One radar scan through the full pipeline (pure, jittable)."""
     T, L, W = state.hist_meas.shape
     tb = jnp.arange(T)
@@ -81,7 +82,8 @@ def scan_step(state: TrackerState,
 
     # 2-3. cluster + global hypothesis selection ---------------------
     sel_res = select(state, shapes, params, method=method,
-                     compute_clusters=compute_clusters)
+                     compute_clusters=compute_clusters,
+                     **(select_kw or {}))
     state = state.replace(sel_leaf=sel_res.sel, lam=sel_res.lam)
 
     # snapshot of the selected track nodes (reference __trackNodes__)
@@ -172,7 +174,8 @@ def scan_many(state, init_state, scans: Scan, ais: AisBatch,
               shapes: TrackerShapes, params: TrackerParams,
               method: str = 'lagrangian', use_ais: bool = True,
               ais_initialization: bool = True,
-              compute_clusters: bool = False):
+              compute_clusters: bool = False,
+              select_kw: Optional[dict] = None):
     """Process a pre-uploaded batch of scans in ONE dispatch via
     lax.scan (device-resident streaming: the production pattern where
     radar frames buffer on device while the tracker computes).
@@ -186,7 +189,8 @@ def scan_many(state, init_state, scans: Scan, ais: AisBatch,
         st, ist, out = scan_step(st, ist, scan_t, ais_t, shapes, params,
                                  method=method, use_ais=use_ais,
                                  ais_initialization=ais_initialization,
-                                 compute_clusters=compute_clusters)
+                                 compute_clusters=compute_clusters,
+                                 select_kw=select_kw)
         return (st, ist), out
 
     (state, init_state), outs = jax.lax.scan(
