@@ -33,35 +33,11 @@ METHOD = os.environ.get("BENCH_METHOD", "lagrangian")
 
 
 def _exact_oracle_gap(tracker, shapes, params):
-    """Device-selection objective vs the exact C++ B&B oracle on the
-    tracker's current forest (same extraction as tests/test_native.py)."""
+    """Device-selection objective vs the exact MILP oracle (HiGHS) on
+    the tracker's current forest (untimed quality certificate)."""
     try:
-        from pymht_tpu import native
-        from pymht_tpu.core.select import leaf_scores, _slot_index
-        state = tracker.state
-        f = np.asarray(leaf_scores(state, params)).astype(np.float64)
-        f = np.where(np.asarray(state.leaf_mask), f, np.inf)
-        slots, n_slots = _slot_index(state, shapes)
-        slots = np.asarray(slots)
-        T, L = f.shape
-        leaf_rows = []
-        for t in range(T):
-            for l in range(L):
-                rr = [int(s) for s in slots[t, l].reshape(-1) if s < n_slots]
-                leaf_rows.append(sorted(set(rr)))
-        tmask = np.asarray(state.tgt_mask)
-        for t in range(T):
-            if not tmask[t]:
-                f[t, 0] = 0.0
-                leaf_rows[t * L] = []
-        sel_oracle, _, optimal = native.solve_ilp_exact(
-            f, leaf_rows, n_slots, max_nodes=500_000)
-        if not optimal:
-            return None
-        sel_dev = np.asarray(state.sel_leaf)
-        obj_dev = sum(f[t, sel_dev[t]] for t in range(T) if tmask[t])
-        obj_opt = sum(f[t, sel_oracle[t]] for t in range(T) if tmask[t])
-        return float((obj_dev - obj_opt) / max(1.0, abs(obj_opt)))
+        from pymht_tpu.utils.oracle import selection_gap
+        return selection_gap(tracker.state, shapes, params)
     except Exception:
         return None
 

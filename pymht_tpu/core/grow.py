@@ -251,6 +251,29 @@ def grow(state: TrackerState,
     # --- beam selection: keep the best L candidates per target -------
     top_scores, top_idx = jax.lax.top_k(-flat_scores, L)
     top_scores = -top_scores                                         # [T,L] ascending
+
+    # Guaranteed feasibility spine: the reference's tree always contains
+    # a zero-hypothesis child of every node (pyTarget.py:319-328), which
+    # is what makes its global selection ILP always feasible.  The array
+    # equivalent: force the zero-hyp child of the PREVIOUSLY SELECTED
+    # leaf into the beam.  The previous selection was conflict-free and
+    # N-scan pruning always keeps selected leaves, so by induction the
+    # set {previous selection + missed detection} is a global feasible
+    # assignment at every scan — the conflict-repair fallback.
+    zero_parent = jnp.clip(state.sel_leaf, 0, L - 1)                 # [T]
+    has_zero = state.leaf_mask[jnp.arange(T), zero_parent]
+    zcand = zero_parent * Cn                                         # slot 0
+    beam_pos = jnp.argmax(top_idx == zcand[:, None], axis=1)         # [T]
+    in_beam = jnp.any(top_idx == zcand[:, None], axis=1)
+    force = has_zero & ~in_beam
+    zscore = jnp.take_along_axis(flat_scores, zcand[:, None], axis=1)[:, 0]
+    top_idx = top_idx.at[:, L - 1].set(
+        jnp.where(force, zcand, top_idx[:, L - 1]))
+    top_scores = top_scores.at[:, L - 1].set(
+        jnp.where(force, zscore, top_scores[:, L - 1]))
+    spine_leaf = jnp.where(has_zero,
+                           jnp.where(force, L - 1, beam_pos), 0)
+
     new_mask = top_scores < BIG * 0.5
     parent = top_idx // Cn                                           # [T,L]
     slot = top_idx % Cn                                              # [T,L]
@@ -326,6 +349,7 @@ def grow(state: TrackerState,
 
     new_state = state.replace(
         lam=lam,
+        spine_leaf=spine_leaf,
         leaf_x=jnp.where(new_mask[..., None], new_x, 0.0),
         leaf_P=jnp.where(new_mask[..., None, None], new_P, 0.0),
         leaf_cnllr=jnp.where(new_mask, top_scores, 0.0),

@@ -35,9 +35,13 @@ def prune_similar(state: TrackerState, shapes: TrackerShapes,
     pos = state.leaf_x[..., :2]
     dist = jnp.linalg.norm(pos[:, :, None, :] - pos[:, None, :, :], axis=3)
     no_ais = state.hist_mmsi[:, :, -1] == 0                     # [T,L]
+    # The feasibility spine must never be absorbed (selection repair
+    # relies on its existence; see state.spine_leaf).
+    not_spine = jnp.arange(L)[None, :] != state.spine_leaf[:, None]
     both_live = state.leaf_mask[:, :, None] & state.leaf_mask[:, None, :]
     mergeable = (prefix_eq & (dist < threshold) & both_live
-                 & no_ais[:, :, None] & no_ais[:, None, :])      # [T,L,L]
+                 & no_ais[:, :, None] & no_ais[:, None, :]
+                 & not_spine[:, :, None] & not_spine[:, None, :])  # [T,L,L]
 
     # Representative = first (lowest index) mergeable partner; each leaf
     # belongs to exactly one group (its rep), so means are well-defined.

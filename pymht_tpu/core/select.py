@@ -210,18 +210,33 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
         cnt = cnt.at[s.reshape(-1)].add(1.0)
         return cnt[:n_slots]
 
+    # Per-(target, slot) unavoidability: slot s is unavoidable for t if
+    # EVERY live leaf of t uses it (a shared within-window prefix).  An
+    # unavoidable claimant must win the keep decision — by the spine
+    # invariant (grow) at most one target can unavoidably claim a slot,
+    # so ceding to it is always consistent.  Loop-invariant; computed
+    # once per selection.
+    def _unavoidable():
+        s = jnp.where(state.leaf_mask[..., None], slots_flat, n_slots)
+        flat = (jnp.arange(T)[:, None, None] * (n_slots + 1) + s).reshape(-1)
+        cnt_ts = jnp.zeros((T * (n_slots + 1),), jnp.float32)
+        cnt_ts = cnt_ts.at[flat].add(1.0).reshape(T, n_slots + 1)
+        n_live = state.leaf_mask.sum(axis=1).astype(jnp.float32)
+        unavoid = (cnt_ts >= n_live[:, None] - 0.5) & (n_live[:, None] > 0.5)
+        return unavoid                                      # [T, S+1]
+
+    unavoid = _unavoidable()
+
     def repair(sel, lam):
         """Parallel keep-best-per-slot conflict resolution.
 
-        Per round: every over-used slot keeps its cheapest claimant
-        (deterministic index tiebreak); all other conflicted targets ban
-        their current leaf and repick by *reduced* cost (dual prices
-        already steer away from contested slots).  Resolves most
-        conflicts in 1-2 rounds vs the one-ban-per-round variant.
+        Per round: every over-used slot keeps its best claimant —
+        unavoidable claimants first, then cheapest (deterministic index
+        tiebreak); all other conflicted targets ban their current leaf
+        and repick by reduced cost plus a penalty on still-contested
+        slots.  Resolves most conflicts in 1-2 rounds.
         """
         rc = reduced_cost(lam)
-        # Deterministic strict ordering for the keep decision only.
-        tiebreak = jnp.arange(T, dtype=jnp.float32) * 1e-6
 
         def body(carry):
             sel, banned, it, _ = carry
@@ -230,25 +245,53 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
             over_pad = jnp.concatenate([over, jnp.zeros((1,), bool)])
             own = jnp.where(state.tgt_mask[:, None],
                             slots_flat[jnp.arange(T), sel], n_slots)
-            fsel = f[jnp.arange(T), sel] + tiebreak        # strict order
-            # cheapest claimant per slot (scatter-min over own slots)
-            claim = jnp.where(over_pad[own], fsel[:, None], jnp.inf)
+            fsel = f[jnp.arange(T), sel]
+            # keep-priority key per (t, own slot): unavoidable claimants
+            # dominate, then spine-holders (the spine set is mutually
+            # feasible, so granting it a contested slot is always
+            # consistent), then score.  A spine-holder therefore never
+            # loses its slot, which guarantees the repair terminates at
+            # the all-spines assignment in the worst case.
+            unav_own = jnp.take_along_axis(unavoid, own, axis=1)  # [T,W*2]
+            on_spine = (sel == state.spine_leaf).astype(jnp.float32)
+            key = (fsel[:, None]
+                   - 1e8 * unav_own.astype(jnp.float32)
+                   - 5e7 * on_spine[:, None])
+            claim = jnp.where(over_pad[own], key, jnp.inf)
             slot_min = jnp.full((n_slots + 1,), jnp.inf)
             slot_min = slot_min.at[own.reshape(-1)].min(claim.reshape(-1))
             in_conf = over_pad[own].any(axis=1) & state.tgt_mask
+            # Exact tie-break: the keeper of a slot is the LOWEST-INDEX
+            # claimant within tolerance of the slot's best key (a float
+            # epsilon added to the key itself would vanish in fp32 next
+            # to the priority offsets).
+            tol = 1e-5 * (1.0 + jnp.abs(slot_min[own]))
+            is_min = over_pad[own] & (key <= slot_min[own] + tol)
+            cand_idx = jnp.where(is_min, jnp.arange(T)[:, None], T)
+            slot_owner = jnp.full((n_slots + 1,), T, jnp.int32)
+            slot_owner = slot_owner.at[own.reshape(-1)].min(
+                cand_idx.reshape(-1).astype(jnp.int32))
             keeper = jnp.all(~over_pad[own]
-                             | (fsel[:, None] <= slot_min[own]), axis=1)
+                             | (slot_owner[own]
+                                == jnp.arange(T)[:, None]), axis=1)
             loser = in_conf & ~keeper
             any_conf = jnp.any(in_conf)
             banned = banned | (loser[:, None]
                                & (jnp.arange(L)[None, :] == sel[:, None]))
-            rcb = jnp.where(banned, jnp.inf, rc)
+            # Conflict-aware repick: penalise leaves that touch any slot
+            # currently over-used so losers prefer clean leaves.  (An
+            # occupancy-based penalty converges faster but measurably
+            # degrades incumbent quality — it herds losers onto their
+            # spines; termination is already guaranteed by the
+            # spine-holder keep priority above.)
+            pen = over_pad[slots_flat].sum(axis=2).astype(jnp.float32)
+            rcb = jnp.where(banned, jnp.inf, rc + 1e3 * pen)
             sel = jnp.where(loser, jnp.argmin(rcb, axis=1), sel)
             return sel, banned, it + 1, any_conf
 
         def cond(carry):
             _, _, it, had_conf = carry
-            return (it < 12) & had_conf
+            return (it < 24) & had_conf
 
         sel, _, _, _ = jax.lax.while_loop(
             cond, body,
@@ -267,22 +310,37 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
         sel, lb = decode(lam)
         best_lb = jnp.maximum(best_lb, lb)
         cnt = usage_of(sel)
-        # Subgradient of the dualised <=1 rows, restricted to rows that
-        # are actually in play (unused rows keep lam at 0 via the clamp).
-        g = jnp.where(cnt > 0, cnt - 1.0, 0.0)
+        # Subgradient of the dualised <=1 rows over rows in play: used
+        # rows push prices up, slack rows that still carry a price decay
+        # back toward 0 (g = -1, projected) — without the decay a price
+        # that overshoots is stuck forever and the dual bound diverges.
+        g = jnp.where((cnt > 0) | (lam > 0), cnt - 1.0, 0.0)
         feas = ~jnp.any(cnt > 1.5)
-        obj = obj_of(sel)
-        better = feas & ((obj < best_obj - 1e-6) | ~best_feas)
-        best_sel = jnp.where(better, sel, best_sel)
+        # Lagrangian heuristic: turn an infeasible decode into a
+        # feasible incumbent candidate via conflict repair (skipped by
+        # lax.cond when the decode is already feasible).
+        sel_c, feas_c = jax.lax.cond(
+            feas, lambda a: (a[0], jnp.asarray(True)),
+            lambda a: repair(*a), (sel, lam))
+        obj = obj_of(sel_c)
+        better = feas_c & ((obj < best_obj - 1e-6) | ~best_feas)
+        # Patience resets only on a MATERIAL improvement (>=0.01% of the
+        # pre-update incumbent) — marginal decodes must not keep the loop
+        # alive for the full budget.
+        material = feas_c & ((obj < best_obj
+                              - 1e-4 * (1.0 + jnp.abs(best_obj)))
+                             | ~best_feas)
+        best_sel = jnp.where(better, sel_c, best_sel)
         best_obj = jnp.where(better, obj, best_obj)
-        best_feas = best_feas | feas
-        # Stationarity: same feasible decode as last iteration, or no
-        # incumbent improvement — count staleness for the patience exit.
+        best_feas = best_feas | feas_c
         same = jnp.all(sel == last_sel)
-        stale = jnp.where(better, 0, stale + 1)
+        stale = jnp.where(material, 0, stale + 1)
         stale = jnp.where(feas & same, stale + 3, stale)
         gnorm2 = jnp.maximum(jnp.dot(g, g), 1e-6)
-        gap_est = jnp.where(best_feas, jnp.maximum(best_obj - lb, 1e-3), 1.0)
+        gap_est = jnp.where(
+            best_feas,
+            jnp.clip(best_obj - lb, 1e-3, 1.0 + 0.25 * jnp.abs(best_obj)),
+            1.0)
         step = theta * gap_est / gnorm2
         lam = jnp.maximum(0.0, lam + step * g)
         return (it + 1, lam, best_sel, best_obj, best_feas, best_lb, sel,
@@ -307,27 +365,13 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
     init = (jnp.asarray(0), state.lam,
             sel_seed, obj_seed, feas_seed,
             lb_seed,
-            jnp.full((T,), -1, jnp.int32), jnp.asarray(0))
+            sel_seed, jnp.asarray(0))
     (_, lam, best_sel, best_obj, best_feas, best_lb,
      last_sel, _) = jax.lax.while_loop(cond, body, init)
 
-    # Repair only if no feasible incumbent exists (rare: the seed repair
-    # already succeeds unless the instance is over-constrained) —
-    # lax.cond skips the whole repair loop otherwise.
-    def do_repair(_):
-        sel_r, feas_r = repair(last_sel, lam)
-        return sel_r, feas_r, obj_of(sel_r)
-
-    def no_repair(_):
-        return best_sel, jnp.asarray(True), best_obj
-
-    sel_r, feas_r, obj_r = jax.lax.cond(best_feas, no_repair, do_repair,
-                                        None)
-    take_r = feas_r & ((obj_r < best_obj) | ~best_feas)
-    best_sel = jnp.where(take_r, sel_r, best_sel)
-    best_obj = jnp.where(take_r, obj_r, best_obj)
-    best_feas = best_feas | feas_r
-
+    # (Every iteration already repairs its decode into an incumbent
+    # candidate, so no post-loop repair pass is needed.)
+    del last_sel
     labels, n_clusters = cluster(state, shapes)
     return SelectionResult(sel=best_sel, feasible=best_feas, obj=best_obj,
                            bound=best_lb, labels=labels,

@@ -49,6 +49,12 @@ class TrackerState(struct.PyTreeNode):
     tgt_pd: jnp.ndarray       # [T] f32
     tgt_mmsi: jnp.ndarray     # [T] i32 — MMSI confirmed before the window
     sel_leaf: jnp.ndarray     # [T] i32 — selected (global-best) leaf
+    # Index of this scan's feasibility spine: the zero-hypothesis child
+    # of the previously selected leaf, forced into the beam by grow.
+    # The spine set across targets is always mutually conflict-free
+    # (previous selection feasibility + no new association), so conflict
+    # repair can always retreat to it.  Valid between grow and select.
+    spine_leaf: jnp.ndarray   # [T] i32
     # Globals ---------------------------------------------------------
     scan_idx: jnp.ndarray     # [] i32 — number of scans processed
     time: jnp.ndarray         # [] f32 — time of last processed scan
@@ -80,6 +86,7 @@ def empty_state(shapes: TrackerShapes, params: TrackerParams) -> TrackerState:
         tgt_pd=jnp.full((T,), params.P_d, f32),
         tgt_mmsi=jnp.zeros((T,), i32),
         sel_leaf=jnp.zeros((T,), i32),
+        spine_leaf=jnp.zeros((T,), i32),
         scan_idx=jnp.asarray(0, i32),
         time=jnp.asarray(0.0, f32),
         next_id=jnp.asarray(0, i32),
@@ -150,5 +157,6 @@ def insert_targets(state: TrackerState,
         tgt_pd=jnp.where(take, params.P_d, state.tgt_pd),
         tgt_mmsi=jnp.where(take, mmsi_in, state.tgt_mmsi),
         sel_leaf=jnp.where(take, 0, state.sel_leaf),
+        spine_leaf=jnp.where(take, 0, state.spine_leaf),
         next_id=state.next_id + n_new,
     )

@@ -64,7 +64,9 @@ def distributed_lagrangian(state, shapes: TrackerShapes,
         lb = jax.lax.psum(local_min, axis_name) - lam.sum()
         best_lb = jnp.maximum(best_lb, lb)
         cnt = usage_of(sel)
-        g = jnp.where(cnt > 0, cnt - 1.0, 0.0)
+        # used rows raise prices; slack-but-priced rows decay (see
+        # core/select.py — without decay the dual diverges).
+        g = jnp.where((cnt > 0) | (lam > 0), cnt - 1.0, 0.0)
         feas = ~jnp.any(cnt > 1.5)
         obj = obj_of(sel)
         better = feas & ((obj < best_obj) | ~best_feas)

@@ -39,6 +39,9 @@ def _state_with_leaves(positions, last_labels, prefix_label=1, mmsi=None):
                                                (T, L, W)).copy()),
         tgt_mask=jnp.asarray(np.array([True, False, False, False])),
         tgt_depth=jnp.asarray(np.array([2, 0, 0, 0], np.int32)),
+        # point the feasibility spine at an unused slot so these tests
+        # exercise plain merge semantics (see test_spine_exempt)
+        spine_leaf=jnp.full((T,), L - 1, jnp.int32),
     )
 
 
@@ -57,6 +60,16 @@ def test_ais_leaves_exempt():
     out = prune_similar(st, SHAPES, PARAMS)
     mask = np.asarray(out.leaf_mask[0])
     assert mask.sum() == 2  # AIS leaf not merged
+
+
+def test_spine_exempt():
+    """The feasibility spine (zero-hyp child of the previously selected
+    leaf) must never be absorbed by similar-state merging — selection
+    conflict repair relies on its existence."""
+    st = _state_with_leaves([(0, 0), (1, 0)], [0, 2])
+    st = st.replace(spine_leaf=jnp.zeros_like(st.spine_leaf))  # leaf 0
+    out = prune_similar(st, SHAPES, PARAMS)
+    assert np.asarray(out.leaf_mask[0]).sum() == 2
 
 
 def test_different_prefix_not_merged():
