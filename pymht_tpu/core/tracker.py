@@ -390,6 +390,43 @@ class Tracker:
         """reference getRuntimeAverage (tracker.py:958-959)."""
         return self.runtime.averages()
 
+    def print_target_list(self):
+        """reference printTargetList (tracker.py:1402-1410): one line per
+        active target with id, current best state and leaf count."""
+        st = self.state
+        mask = np.asarray(st.tgt_mask)
+        ids = np.asarray(st.tgt_id)
+        sel = np.asarray(st.sel_leaf)
+        xs = np.asarray(st.leaf_x)
+        nleaf = np.asarray(st.leaf_mask).sum(axis=1)
+        cn = np.asarray(st.leaf_cnllr)
+        print("Target list:")
+        for slot in np.nonzero(mask)[0]:
+            x = xs[slot, sel[slot]]
+            print(f"  T{int(ids[slot]):<4d} pos=({x[0]:8.1f},{x[1]:8.1f}) "
+                  f"vel=({x[2]:6.2f},{x[3]:6.2f}) "
+                  f"leaves={int(nleaf[slot]):3d} "
+                  f"cnllr={float(cn[slot, sel[slot]]):8.3f}")
+
+    printTargetList = print_target_list
+
+    def print_cluster_list(self):
+        """reference printClusterList (tracker.py:1466-1470): clusters of
+        targets sharing gated measurements."""
+        from .select import cluster
+        labels, n = cluster(self.state, self.shapes)
+        labels = np.asarray(labels)
+        mask = np.asarray(self.state.tgt_mask)
+        ids = np.asarray(self.state.tgt_id)
+        groups = {}
+        for slot in np.nonzero(mask)[0]:
+            groups.setdefault(int(labels[slot]), []).append(int(ids[slot]))
+        print(f"Cluster list ({int(n)} clusters):")
+        for i, (lab, members) in enumerate(sorted(groups.items())):
+            print(f"  Cluster {i}: targets {members}")
+
+    printClusterList = print_cluster_list
+
     def _absorb_outputs(self, out, n_scans=None):
         W = self.shapes.window
         ids = out.track_id

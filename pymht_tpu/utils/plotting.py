@@ -130,6 +130,32 @@ def plot_velocity_arrows(ax, tracker, scale=1.0):
                  length_includes_head=True)
 
 
+def plot_hypotheses(ax, tracker, color='gray', sel_color='red',
+                    alpha=0.35):
+    """Draw every live hypothesis branch's window trajectory per target,
+    highlighting the selected leaf — the reference's hypothesis-tree
+    track plot (tracker.py:1291-1309, pyTarget.plotTrack family)."""
+    st = tracker.state
+    mask = np.asarray(st.tgt_mask)
+    lmask = np.asarray(st.leaf_mask)
+    hist_x = np.asarray(st.hist_x)
+    depth = np.asarray(st.tgt_depth)
+    sel = np.asarray(st.sel_leaf)
+    W = hist_x.shape[2]
+    for t in np.nonzero(mask)[0]:
+        w0 = W - int(depth[t])
+        for l in np.nonzero(lmask[t])[0]:
+            xy = hist_x[t, l, w0:, :2]
+            if len(xy) < 1:
+                continue
+            if l == sel[t]:
+                ax.plot(xy[:, 0], xy[:, 1], '-', color=sel_color,
+                        linewidth=1.2, zorder=3)
+            else:
+                ax.plot(xy[:, 0], xy[:, 1], '-', color=color,
+                        linewidth=0.5, alpha=alpha, zorder=2)
+
+
 def plot_ground_truth(ax, sim_list, colors=None, label=True):
     """Truth trails (reference SimList.plot)."""
     n_targets = len(sim_list[0])
