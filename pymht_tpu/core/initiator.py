@@ -26,7 +26,7 @@ from flax import struct
 
 from ..models import pv, ais as ais_model
 from ..ops import kalman as k
-from ..ops.assignment import auction_assign, greedy_assign
+from ..ops.assignment import auction_assign
 from .config import TrackerShapes, TrackerParams
 from .grow import AisBatch
 
@@ -177,7 +177,11 @@ def step(state: InitiatorState,
     gate_d = params.max_speed * dt
     gate2 = (d_init <= gate_d) & un1[None, :] & st.i_mask[:, None] \
         & state.has_time
-    assign2 = greedy_assign(d_init, gate2)                  # [I] -> meas or -1
+    # Optimal GNN pairing, matching the reference's exact Munkres solve
+    # (m_of_n.py:380-413); the auction converges in a few rounds for the
+    # spatially-separated common case but resolves contested pairings
+    # optimally where greedy would not.
+    assign2 = auction_assign(d_init, gate2, max_iters=300)  # [I] -> meas or -1
     paired = assign2 >= 0
     am2 = jnp.clip(assign2, 0, M - 1)
     # two-point velocity init (m_of_n.py:455-463)

@@ -6,25 +6,33 @@ structure (A1), the one-leaf-per-target structure (A2) and the score
 vector (C) directly from the history arrays, then pick one leaf per
 target minimising total score subject to single-use measurements.
 
-Two interchangeable solvers:
+The production solver (``method='lagrangian'``) is a tiered hybrid that
+mirrors the reference's per-cluster decomposition
+(/root/reference/pymht/tracker.py:961-1027) with fixed shapes:
 
-* ``ipm``        — dense assembly + interior-point LP with truncated
-                   branch-and-bound (ops/lp.py).  Near-exact; cost is a
-                   Cholesky per IPM iteration.  Right for parity tests
-                   and moderate sizes.
-* ``lagrangian`` — matrix-free: dual prices per (window-scan, slot) are
-                   *gathered* through ``hist_meas``/``hist_ais`` to form
-                   reduced costs, usage counts are scatter-adds of the
-                   decoded selection.  O(T*L*W) per iteration, no
-                   factorisation — the scalable path for large scans.
+* tier 0 — if the per-target independent optima are conflict-free they
+  are the global optimum (reference singleton clusters,
+  tracker.py:228-233); no solver runs.
+* tier 1 — singleton clusters take their argmin leaf (exact).
+* tier 2 — clusters of 2..4 targets are gathered into padded buckets
+  and solved by batched exhaustive enumeration over each member's top-C
+  leaves (exact on the candidate sets, one fixed-shape tensor op — no
+  sequential loop).  This replaces the reference's per-cluster CBC ILP
+  (tracker.py:1155-1217) for the common case.
+* tier 3 — larger clusters fall back to a matrix-free Lagrangian
+  subgradient loop restricted to their targets, warm-started from duals
+  carried across scans.  Exact tiers 1-2 contribute zero gap, so the
+  convergence test only has to close the big-cluster gap.
 
-Cluster decomposition is implicit in both (independent blocks of the
-global problem); explicit cluster labels are still computed for
-observability and multi-chip partitioning.
+Two further solvers are kept for parity/debug:
+
+* ``ipm``             — dense assembly + interior-point LP with
+                        truncated branch-and-bound (ops/lp.py).
+* ``lagrangian_pure`` — the tier-3 loop applied to the whole forest.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +42,21 @@ from .config import TrackerShapes, TrackerParams
 from .state import TrackerState
 
 BIG = jnp.float32(1e4)
+
+# Tier-2 enumeration limits (static): clusters up to K_ENUM targets are
+# solved exactly over each member's best C_ENUM leaves.
+K_ENUM = 4
+C_ENUM = 16
+
+# Debug-only: run data-dependent branches eagerly (Python if/while) so
+# host tools can count loop iterations.  Never set inside jit.
+EAGER_DEBUG = False
+
+
+def _cond(pred, true_fn, false_fn, operand):
+    if EAGER_DEBUG:
+        return true_fn(operand) if bool(pred) else false_fn(operand)
+    return jax.lax.cond(pred, true_fn, false_fn, operand)
 
 
 class SelectionResult(NamedTuple):
@@ -93,7 +116,8 @@ def target_usage(state: TrackerState, shapes: TrackerShapes):
 
 def cluster(state: TrackerState, shapes: TrackerShapes):
     """Connected components of the target–measurement sharing graph via
-    min-label propagation on device."""
+    min-label propagation with pointer jumping (log-depth convergence
+    even for chain-shaped clusters)."""
     use, _ = target_usage(state, shapes)
     T = use.shape[0]
     usef = use.astype(jnp.float32)
@@ -107,6 +131,9 @@ def cluster(state: TrackerState, shapes: TrackerShapes):
         labels, _ = carry
         neigh = jnp.where(adj, labels[None, :], T)
         new = jnp.minimum(labels, jnp.min(neigh, axis=1))
+        # pointer jump: adopt the label of your current label target
+        lab_pad = jnp.concatenate([new, jnp.asarray([T])])
+        new = jnp.minimum(new, lab_pad[jnp.clip(new, 0, T)])
         return new, jnp.any(new != labels)
 
     def cond(carry):
@@ -115,6 +142,14 @@ def cluster(state: TrackerState, shapes: TrackerShapes):
     labels, _ = jax.lax.while_loop(cond, body, (labels0, jnp.asarray(True)))
     is_root = state.tgt_mask & (labels == jnp.arange(T))
     return labels, jnp.sum(is_root.astype(jnp.int32))
+
+
+def cluster_sizes(labels: jnp.ndarray, tgt_mask: jnp.ndarray):
+    """[T] member count of each target's cluster (0 for inactive)."""
+    T = labels.shape[0]
+    per_label = jnp.zeros((T + 1,), jnp.int32).at[labels].add(
+        tgt_mask.astype(jnp.int32))
+    return jnp.where(tgt_mask, per_label[jnp.clip(labels, 0, T)], 0)
 
 
 # ----------------------------------------------------------------------
@@ -172,12 +207,122 @@ def select_ipm(state: TrackerState, shapes: TrackerShapes,
 
 
 # ----------------------------------------------------------------------
-# Matrix-free Lagrangian path
+# Tier 2: batched exact enumeration of small clusters
+# ----------------------------------------------------------------------
+
+def _candidate_sets(state: TrackerState, f: jnp.ndarray, C: int):
+    """Top-C leaves per target by score, with the feasibility spine leaf
+    forced into the set (so the all-spines combo is always available)."""
+    T, L = f.shape
+    topv, topi = jax.lax.top_k(-f, C)                      # [T,C]
+    spine = jnp.clip(state.spine_leaf, 0, L - 1)
+    in_set = jnp.any(topi == spine[:, None], axis=1)
+    topi = topi.at[:, C - 1].set(
+        jnp.where(in_set, topi[:, C - 1], spine))
+    return topi                                            # [T,C]
+
+
+def _enum_small_clusters(state: TrackerState, f: jnp.ndarray,
+                         slots_flat: jnp.ndarray, n_slots: int,
+                         labels: jnp.ndarray, small: jnp.ndarray,
+                         C: int = C_ENUM):
+    """Exact batched solve of all clusters with 2..K_ENUM members.
+
+    Gathers each small cluster into a padded bucket of K_ENUM members
+    (dummy-padded), restricts each member to its top-C leaves (+spine),
+    and enumerates all C^K combinations with pairwise slot-conflict
+    masks — one argmin over a [B, C^K] tensor.  Equivalent to the
+    reference's per-cluster CBC ILP (tracker.py:979-1217) for small
+    clusters, with bounded candidate sets.
+
+    Returns (sel_enum [T], obj_small [], n_buckets-independent shapes).
+    """
+    T, L, W2 = slots_flat.shape
+    C = min(C, L)
+    K = K_ENUM
+    B = max(T // 2, 1)
+    tidx = jnp.arange(T)
+
+    # member rank within the cluster (among small members)
+    same = small[None, :] & (labels[:, None] == labels[None, :])
+    rank = jnp.sum((same & (tidx[None, :] < tidx[:, None])).astype(jnp.int32),
+                   axis=1)                                  # [T]
+    is_root = small & (labels == tidx)
+    bid_of_root = jnp.cumsum(is_root.astype(jnp.int32)) - 1  # [T]
+    bucket_of = jnp.where(small, bid_of_root[jnp.clip(labels, 0, T - 1)], B)
+
+    # members [B, K]: target index or T (dummy)
+    flat = jnp.where(small, bucket_of * K + rank, B * K)
+    members_flat = jnp.full((B * K + 1,), T, jnp.int32)
+    members_flat = members_flat.at[flat].set(jnp.where(small, tidx, T))
+    members = members_flat[:B * K].reshape(B, K)
+
+    # candidate tables padded with a dummy target row (cost 0, no slots)
+    cand_idx = _candidate_sets(state, f, C)                 # [T,C]
+    cand_f = jnp.take_along_axis(f, cand_idx, axis=1)       # [T,C]
+    cand_slots = jnp.take_along_axis(
+        slots_flat, cand_idx[:, :, None], axis=1)           # [T,C,W2]
+    cand_f = jnp.concatenate([cand_f, jnp.zeros((1, C), jnp.float32)], 0)
+    cand_slots = jnp.concatenate(
+        [cand_slots, jnp.full((1, C, W2), n_slots, jnp.int32)], 0)
+
+    bf = cand_f[members]                                    # [B,K,C]
+    bs = cand_slots[members]                                # [B,K,C,W2]
+
+    # pairwise slot conflicts between bucket members
+    conf = {}
+    for i in range(K):
+        for j in range(i + 1, K):
+            a = bs[:, i]                                    # [B,C,W2]
+            b = bs[:, j]
+            eq = (a[:, :, None, :, None] == b[:, None, :, None, :])
+            valid = a[:, :, None, :, None] < n_slots
+            conf[(i, j)] = jnp.any(eq & valid, axis=(3, 4))  # [B,C,C]
+
+    # enumerate all C^K combos (K=4): score sum + pairwise feasibility
+    score = (bf[:, 0][:, :, None, None, None]
+             + bf[:, 1][:, None, :, None, None]
+             + bf[:, 2][:, None, None, :, None]
+             + bf[:, 3][:, None, None, None, :])            # [B,C,C,C,C]
+    ok = (~conf[(0, 1)][:, :, :, None, None]
+          & ~conf[(0, 2)][:, :, None, :, None]
+          & ~conf[(0, 3)][:, :, None, None, :]
+          & ~conf[(1, 2)][:, None, :, :, None]
+          & ~conf[(1, 3)][:, None, :, None, :]
+          & ~conf[(2, 3)][:, None, None, :, :])
+    total = jnp.where(ok, score, jnp.inf).reshape(B, C ** 4)
+    best = jnp.argmin(total, axis=1)                        # [B]
+    best_val = jnp.min(total, axis=1)
+    c_of = jnp.stack([best // C ** 3,
+                      (best // C ** 2) % C,
+                      (best // C) % C,
+                      best % C], axis=1)                    # [B,K]
+
+    # write back per-target selected leaf
+    chosen = c_of[jnp.clip(bucket_of, 0, B - 1),
+                  jnp.clip(rank, 0, K - 1)]                 # [T]
+    sel_enum = cand_idx[tidx, chosen]
+    # empty buckets enumerate all-dummy combos: score 0, feasible — they
+    # contribute nothing to the objective.
+    obj_small = jnp.where(jnp.isfinite(best_val), best_val, 0.0).sum()
+    return sel_enum, obj_small
+
+
+# ----------------------------------------------------------------------
+# Tier 3: matrix-free Lagrangian (optionally restricted to one
+# participation set — the big-cluster fallback)
 # ----------------------------------------------------------------------
 
 def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
                       params: TrackerParams, iters: int = 60,
-                      theta: float = 1.0) -> SelectionResult:
+                      theta: float = 1.0,
+                      participate: Optional[jnp.ndarray] = None,
+                      obj_offset=0.0,
+                      lam0: Optional[jnp.ndarray] = None,
+                      patience: int = 6,
+                      repair_rounds: int = 8,
+                      repair_cadence: int = 4,
+                      with_clusters: bool = True) -> SelectionResult:
     """Subgradient ascent with gather/scatter duals — no matrices.
 
     Dual price lam[s] per single-use slot; reduced cost of a leaf is its
@@ -185,11 +330,22 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
     The decode is an argmin per target; usage counts come from a
     scatter-add of the decoded selection.  Feasible incumbents are
     maintained with a conflict-repair sweep.
+
+    ``participate`` restricts the solve to a subset of targets (their
+    clusters must be disjoint from the rest — guaranteed when the subset
+    is a union of connected components).  ``obj_offset`` is the exact
+    objective of the already-solved remainder, used only to scale the
+    relative convergence tolerance.
     """
     T, L, W = state.hist_meas.shape
+    eff_tgt = state.tgt_mask if participate is None \
+        else (state.tgt_mask & participate)
+    eff_leaf = state.leaf_mask & eff_tgt[:, None]
     slots, n_slots = _slot_index(state, shapes)            # [T,L,W,2]
     f = leaf_scores(state, params)                         # [T,L]
     slots_flat = slots.reshape(T, L, W * 2)
+    lam_init = state.lam if lam0 is None else lam0
+    obj_offset = jnp.asarray(obj_offset, jnp.float32)
 
     def reduced_cost(lam):
         lam_pad = jnp.concatenate([lam, jnp.zeros((1,), jnp.float32)])
@@ -199,13 +355,13 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
     def decode(lam):
         rc = reduced_cost(lam)
         sel = jnp.argmin(rc, axis=1)
-        lb = (jnp.where(state.tgt_mask, jnp.min(rc, axis=1), 0.0).sum()
+        lb = (jnp.where(eff_tgt, jnp.min(rc, axis=1), 0.0).sum()
               - lam.sum())
         return sel, lb
 
     def usage_of(sel):
         s = slots_flat[jnp.arange(T), sel]                 # [T, W*2]
-        s = jnp.where(state.tgt_mask[:, None], s, n_slots)
+        s = jnp.where(eff_tgt[:, None], s, n_slots)
         cnt = jnp.zeros((n_slots + 1,), jnp.float32)
         cnt = cnt.at[s.reshape(-1)].add(1.0)
         return cnt[:n_slots]
@@ -217,11 +373,11 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
     # so ceding to it is always consistent.  Loop-invariant; computed
     # once per selection.
     def _unavoidable():
-        s = jnp.where(state.leaf_mask[..., None], slots_flat, n_slots)
+        s = jnp.where(eff_leaf[..., None], slots_flat, n_slots)
         flat = (jnp.arange(T)[:, None, None] * (n_slots + 1) + s).reshape(-1)
         cnt_ts = jnp.zeros((T * (n_slots + 1),), jnp.float32)
         cnt_ts = cnt_ts.at[flat].add(1.0).reshape(T, n_slots + 1)
-        n_live = state.leaf_mask.sum(axis=1).astype(jnp.float32)
+        n_live = eff_leaf.sum(axis=1).astype(jnp.float32)
         unavoid = (cnt_ts >= n_live[:, None] - 0.5) & (n_live[:, None] > 0.5)
         return unavoid                                      # [T, S+1]
 
@@ -243,7 +399,7 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
             cnt = usage_of(sel)
             over = cnt > 1.5
             over_pad = jnp.concatenate([over, jnp.zeros((1,), bool)])
-            own = jnp.where(state.tgt_mask[:, None],
+            own = jnp.where(eff_tgt[:, None],
                             slots_flat[jnp.arange(T), sel], n_slots)
             fsel = f[jnp.arange(T), sel]
             # keep-priority key per (t, own slot): unavoidable claimants
@@ -260,7 +416,7 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
             claim = jnp.where(over_pad[own], key, jnp.inf)
             slot_min = jnp.full((n_slots + 1,), jnp.inf)
             slot_min = slot_min.at[own.reshape(-1)].min(claim.reshape(-1))
-            in_conf = over_pad[own].any(axis=1) & state.tgt_mask
+            in_conf = over_pad[own].any(axis=1) & eff_tgt
             # Exact tie-break: the keeper of a slot is the LOWEST-INDEX
             # claimant within tolerance of the slot's best key (a float
             # epsilon added to the key itself would vanish in fp32 next
@@ -291,7 +447,7 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
 
         def cond(carry):
             _, _, it, had_conf = carry
-            return (it < 24) & had_conf
+            return (it < repair_rounds) & had_conf
 
         sel, _, _, _ = jax.lax.while_loop(
             cond, body,
@@ -301,8 +457,7 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
         return sel, ~jnp.any(cnt > 1.5)
 
     def obj_of(sel):
-        return jnp.where(state.tgt_mask,
-                         f[jnp.arange(T), sel], 0.0).sum()
+        return jnp.where(eff_tgt, f[jnp.arange(T), sel], 0.0).sum()
 
     def body(carry):
         (it, lam, best_sel, best_obj, best_feas, best_lb, last_sel,
@@ -317,12 +472,15 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
         g = jnp.where((cnt > 0) | (lam > 0), cnt - 1.0, 0.0)
         feas = ~jnp.any(cnt > 1.5)
         # Lagrangian heuristic: turn an infeasible decode into a
-        # feasible incumbent candidate via conflict repair (skipped by
-        # lax.cond when the decode is already feasible).
-        sel_c, feas_c = jax.lax.cond(
-            feas, lambda a: (a[0], jnp.asarray(True)),
-            lambda a: repair(*a), (sel, lam))
-        obj = obj_of(sel_c)
+        # feasible incumbent candidate via conflict repair.  Repair is
+        # the expensive sequential part, so it only runs on a cadence
+        # (every ``repair_cadence`` iterations) — the in-between
+        # iterations are pure dual ascent (skipped by lax.cond).
+        do_repair = ~feas & ((it % repair_cadence) == 0)
+        sel_c, feas_c = _cond(
+            do_repair, lambda a: repair(*a),
+            lambda a: (a[0], feas), (sel, lam))
+        obj = jnp.where(feas_c, obj_of(sel_c), jnp.inf)
         better = feas_c & ((obj < best_obj - 1e-6) | ~best_feas)
         # Patience resets only on a MATERIAL improvement (>=0.01% of the
         # pre-update incumbent) — marginal decodes must not keep the loop
@@ -350,19 +508,26 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
         (it, lam, best_sel, best_obj, best_feas, best_lb, last_sel,
          stale) = carry
         gap = best_obj - best_lb
-        converged = best_feas & (gap <= 1e-4 * (1.0 + jnp.abs(best_obj)))
-        patience_out = best_feas & (stale >= 6)
+        # Convergence is judged against the GLOBAL objective (exact part
+        # + this subproblem): the caller only needs the total gap small.
+        scale = 1.0 + jnp.abs(obj_offset + best_obj)
+        converged = best_feas & (gap <= 2e-4 * scale)
+        # The patience exit only fires once the certified gap is inside
+        # the 0.1% contract — a stale incumbent with a loose bound keeps
+        # iterating (the dual typically closes it within ~2x patience).
+        patience_out = (best_feas & (stale >= patience)
+                        & (gap <= 1e-3 * scale))
         return (it < iters) & ~converged & ~patience_out
 
     # Seed a feasible incumbent by repairing the warm-started decode:
     # the patience/convergence exits can then fire within a handful of
     # subgradient iterations instead of running the full budget.
-    sel_seed, lb_seed = decode(state.lam)
-    sel_seed, feas_seed = repair(sel_seed, state.lam)
+    sel_seed, lb_seed = decode(lam_init)
+    sel_seed, feas_seed = repair(sel_seed, lam_init)
     obj_seed = jnp.where(feas_seed, obj_of(sel_seed),
                          jnp.asarray(jnp.inf, jnp.float32))
 
-    init = (jnp.asarray(0), state.lam,
+    init = (jnp.asarray(0), lam_init,
             sel_seed, obj_seed, feas_seed,
             lb_seed,
             sel_seed, jnp.asarray(0))
@@ -372,10 +537,83 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
     # (Every iteration already repairs its decode into an incumbent
     # candidate, so no post-loop repair pass is needed.)
     del last_sel
-    labels, n_clusters = cluster(state, shapes)
+    if with_clusters:
+        labels, n_clusters = cluster(state, shapes)
+    else:
+        labels = jnp.zeros((T,), jnp.int32)
+        n_clusters = jnp.asarray(-1, jnp.int32)
     return SelectionResult(sel=best_sel, feasible=best_feas, obj=best_obj,
                            bound=best_lb, labels=labels,
                            n_clusters=n_clusters, lam=lam)
+
+
+# ----------------------------------------------------------------------
+# The tiered hybrid (production path)
+# ----------------------------------------------------------------------
+
+def select_hybrid(state: TrackerState, shapes: TrackerShapes,
+                  params: TrackerParams, iters: int = 60,
+                  theta: float = 1.5,
+                  enum_cands: int = C_ENUM,
+                  patience: int = 4,
+                  labels_in=None, **lag_kw) -> SelectionResult:
+    """Cluster-decomposed selection: exact enumeration for small
+    clusters, restricted Lagrangian for big ones (see module docstring).
+    """
+    T, L, W = state.hist_meas.shape
+    slots, n_slots = _slot_index(state, shapes)
+    slots_flat = slots.reshape(T, L, W * 2)
+    f = leaf_scores(state, params)
+
+    if labels_in is None:
+        labels, n_clusters = cluster(state, shapes)
+    else:
+        labels, n_clusters = labels_in
+    csize = cluster_sizes(labels, state.tgt_mask)
+    singleton = state.tgt_mask & (csize == 1)
+    small = state.tgt_mask & (csize >= 2) & (csize <= K_ENUM)
+    big = state.tgt_mask & (csize > K_ENUM)
+
+    # tier 1: singletons — exact argmin
+    sel0 = jnp.argmin(f, axis=1)
+    obj_single = jnp.where(singleton, jnp.min(f, axis=1), 0.0).sum()
+
+    # tier 2: small clusters — batched exact enumeration
+    sel_enum, obj_small = _enum_small_clusters(
+        state, f, slots_flat, n_slots, labels, small, C=enum_cands)
+
+    # tier 3: big clusters — restricted warm-started Lagrangian.  Dual
+    # prices on slots unreachable by big-cluster targets are zeroed so
+    # the dual bound is tight for the subproblem.
+    s_used = jnp.where((state.leaf_mask & big[:, None])[..., None],
+                       slots_flat, n_slots)
+    slot_in_big = jnp.zeros((n_slots + 1,), bool).at[
+        s_used.reshape(-1)].set(True)[:n_slots]
+    lam_big = jnp.where(slot_in_big, state.lam, 0.0)
+    exact_obj = obj_single + obj_small
+
+    def run_big(_):
+        res = select_lagrangian(state, shapes, params, iters=iters,
+                                theta=theta, participate=big,
+                                obj_offset=exact_obj, lam0=lam_big,
+                                patience=patience, with_clusters=False,
+                                **lag_kw)
+        return res.sel, res.feasible, res.obj, res.bound, res.lam
+
+    def no_big(_):
+        return (sel0, jnp.asarray(True), jnp.asarray(0.0, jnp.float32),
+                jnp.asarray(0.0, jnp.float32), lam_big)
+
+    sel_big, feas_big, obj_big, bound_big, lam = _cond(
+        jnp.any(big), run_big, no_big, None)
+
+    sel = jnp.where(singleton, sel0,
+                    jnp.where(small, sel_enum, sel_big))
+    return SelectionResult(
+        sel=sel, feasible=feas_big,
+        obj=exact_obj + obj_big,
+        bound=exact_obj + bound_big,
+        labels=labels, n_clusters=n_clusters, lam=lam)
 
 
 def _independent_best(state: TrackerState, shapes: TrackerShapes,
@@ -403,7 +641,9 @@ def _independent_best(state: TrackerState, shapes: TrackerShapes,
 def select(state: TrackerState, shapes: TrackerShapes, params: TrackerParams,
            method: str = 'ipm', fast_path: bool = True,
            compute_clusters: bool = True, **kw) -> SelectionResult:
-    solver = {'ipm': select_ipm, 'lagrangian': select_lagrangian}
+    solver = {'ipm': select_ipm,
+              'lagrangian': select_hybrid,
+              'lagrangian_pure': select_lagrangian}
     if method not in solver and method != 'greedy':
         raise ValueError(f"unknown selection method {method!r}")
     if not fast_path and method != 'greedy':
@@ -415,9 +655,12 @@ def select(state: TrackerState, shapes: TrackerShapes, params: TrackerParams,
     sel0, obj0, feas0 = _independent_best(state, shapes, params)
     if compute_clusters:
         labels, n_clusters = cluster(state, shapes)
+        if method == 'lagrangian':
+            kw = dict(kw, labels_in=(labels, n_clusters))
     else:
         # Cluster labels are observability, not needed for selection —
-        # skip the adjacency matmul + label propagation in the hot path.
+        # the hybrid's slow branch computes real labels internally; the
+        # fast branch only needs placeholders of matching shape.
         T = state.tgt_mask.shape[0]
         labels = jnp.zeros((T,), jnp.int32)
         n_clusters = jnp.asarray(-1, jnp.int32)
@@ -434,6 +677,8 @@ def select(state: TrackerState, shapes: TrackerShapes, params: TrackerParams,
 
     def slow(_):
         res = solver[method](state, shapes, params, **kw)
-        return res._replace(labels=labels, n_clusters=n_clusters)
+        if method != 'lagrangian':
+            res = res._replace(labels=labels, n_clusters=n_clusters)
+        return res
 
-    return jax.lax.cond(feas0, fast, slow, None)
+    return _cond(feas0, fast, slow, None)

@@ -100,11 +100,14 @@ def insert_targets(state: TrackerState,
                    new_mask: jnp.ndarray,    # [K] bool
                    new_mmsi: jnp.ndarray,    # [K] i32 (0 = none)
                    time: jnp.ndarray,
-                   params: TrackerParams) -> TrackerState:
+                   params: TrackerParams,
+                   new_ids: jnp.ndarray = None) -> TrackerState:
     """Initiate up to K new targets into free slots (masked, fixed-shape).
 
     Mirrors Tracker.initiateTarget (/root/reference/pymht/tracker.py:147-158):
-    each new target becomes a single root-leaf with cnllr 0 and a fresh id.
+    each new target becomes a single root-leaf with cnllr 0 and a fresh id
+    (or an explicit id from ``new_ids`` — used by the target-sharded step,
+    where ids must be globally unique across shards).
     Neighbourhood rejection is the caller's responsibility.
     """
     T, L = state.leaf_mask.shape
@@ -143,9 +146,18 @@ def insert_targets(state: TrackerState,
     hist_x = jnp.where(take[:, None, None, None], 0.0, state.hist_x)
 
     n_new = jnp.sum(new_mask.astype(jnp.int32))
-    ids = jnp.where(take, state.next_id + slot_rank, state.tgt_id)
+    ids_in = (state.next_id + slot_rank) if new_ids is None \
+        else new_ids[src]
+    ids = jnp.where(take, ids_in, state.tgt_id)
+
+    # The inserted states are valid at ``time``: advance the forest clock
+    # so the next grow predicts them by the correct dt.  (During a scan,
+    # insertion happens at the scan time the forest already carries; at
+    # pre-initialization this seeds the clock.)
+    new_time = jnp.maximum(state.time, jnp.asarray(time, jnp.float32))
 
     return state.replace(
+        time=new_time,
         leaf_x=leaf_x, leaf_P=leaf_P, leaf_cnllr=leaf_cnllr,
         leaf_mask=leaf_mask, hist_meas=hist_meas, hist_ais=hist_ais,
         hist_mmsi=hist_mmsi, hist_cnllr=hist_cnllr, hist_x=hist_x,

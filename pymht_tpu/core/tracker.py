@@ -484,6 +484,7 @@ class Tracker:
         depth = np.asarray(st.tgt_depth)
         hist_x = np.asarray(st.hist_x)
         hist_meas = np.asarray(st.hist_meas)
+        hist_mmsi = np.asarray(st.hist_mmsi)
         n = len(self.scan_times)
         tracks = {}
         for slot in np.nonzero(mask)[0]:
@@ -495,34 +496,38 @@ class Tracker:
                             for w in range(W - depth[slot], W)]
             window_meas = [int(hist_meas[slot, sel[slot], w])
                            for w in range(W - depth[slot], W)]
+            window_mmsi = [int(hist_mmsi[slot, sel[slot], w])
+                           for w in range(W - depth[slot], W)]
             tracks[tid] = {
                 'confirmed_times': list(arch.times) if arch else [],
                 'confirmed_states': list(arch.states) if arch else [],
                 'confirmed_meas': list(arch.meas) if arch else [],
+                'confirmed_mmsi': list(arch.mmsi) if arch else [],
                 'window_times': window_times,
                 'window_states': window_states,
                 'window_meas': window_meas,
+                'window_mmsi': window_mmsi,
             }
         return tracks
 
     def _track_measurement_sequences(self, include_terminated=False):
-        """Per track: (first_scan_idx, labels per scan) combining the
-        confirmed archive with the current selected window."""
-        n = len(self.scan_times)
+        """Per track: (times, labels, states, mmsi) per scan, combining
+        the confirmed archive with the current selected window."""
         seqs = {}
         tracks = self.get_tracks()
         for tid, tr in tracks.items():
             times = tr['confirmed_times'] + tr['window_times']
             labels = tr['confirmed_meas'] + tr['window_meas']
             states = tr['confirmed_states'] + tr['window_states']
+            mmsi = tr['confirmed_mmsi'] + tr['window_mmsi']
             if not times:
                 continue
-            seqs[tid] = (times, labels, states)
+            seqs[tid] = (times, labels, states, mmsi)
         if include_terminated:
             for tid, arch in self.terminated.items():
                 if arch.times:
                     seqs[tid] = (list(arch.times), list(arch.meas),
-                                 list(arch.states))
+                                 list(arch.states), list(arch.mmsi))
         return seqs
 
     def get_smooth_tracks(self, em_iters: int = 0,
@@ -534,7 +539,7 @@ class Tracker:
         from ..ops.smoother import rts_smooth
         time_to_idx = {t: i for i, t in enumerate(self.scan_times)}
         out = {}
-        for tid, (times, labels, states) in \
+        for tid, (times, labels, states, _mmsi) in \
                 self._track_measurement_sequences(include_terminated).items():
             zs, mask = [], []
             for t, lab in zip(times, labels):

@@ -2,22 +2,26 @@
 
 BASELINE config 5's pattern: the target axis partitions across chips
 ("cluster" mesh axis); each shard decodes its own targets against shared
-dual prices, and the only cross-chip traffic is an all-reduce of the
-slot-usage counts (the Lagrangian subgradient) over ICI — the
-"dual-variable allreduce" of the north star.  The dual update is then
-replicated deterministically on every shard, so prices never need a
-broadcast.
+dual prices, and the cross-chip traffic is an all-reduce of the
+slot-usage counts (the Lagrangian subgradient) plus per-slot min
+reductions for the conflict-repair keep decision — all over ICI.  The
+dual update is replicated deterministically on every shard, so prices
+never need a broadcast.
 
-Built on shard_map + lax.psum rather than hand-written RDMA: the
+Feasibility machinery mirrors core/select.py: every decode that is
+infeasible is repaired by keep-best-per-slot rounds with spine priority
+(the spine set is mutually conflict-free across ALL shards — grow
+forces the zero-child of the previous global selection into each
+target's beam), so the loop always produces a feasible incumbent.
+
+Built on shard_map + lax.psum/pmin rather than hand-written RDMA: the
 collective pattern is explicit, the transport is XLA's.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.config import TrackerShapes, TrackerParams
 from ..core.select import _slot_index, leaf_scores
@@ -31,64 +35,167 @@ def _local_tables(state, shapes):
 
 def distributed_lagrangian(state, shapes: TrackerShapes,
                            params: TrackerParams, axis_name: str,
-                           iters: int = 60, theta: float = 1.0):
+                           iters: int = 60, theta: float = 1.5,
+                           patience: int = 6, repair_rounds: int = 8,
+                           repair_cadence: int = 2,
+                           lam0=None):
     """Runs INSIDE shard_map: ``state`` holds this shard's targets.
 
-    Returns (sel [T_local], obj_global, lb_global, feasible_global).
+    Returns (sel [T_local], obj_global, lb_global, feasible_global,
+    lam [n_slots] — final duals, replicated, for cross-scan warm starts).
     """
     slots_flat, n_slots = _local_tables(state, shapes)
     T, L = state.leaf_mask.shape
     f = leaf_scores(state, params)
+    my_shard = jax.lax.axis_index(axis_name)
+    n_shards = jax.lax.axis_size(axis_name)
+    gidx = my_shard * T + jnp.arange(T)              # global target index
+    T_g = n_shards * T
+    tgt = state.tgt_mask
 
     def reduced_cost(lam):
         lam_pad = jnp.concatenate([lam, jnp.zeros((1,), jnp.float32)])
         return f + lam_pad[slots_flat].sum(axis=2)
 
+    def decode(lam):
+        rc = reduced_cost(lam)
+        sel = jnp.argmin(rc, axis=1)
+        local_min = jnp.where(tgt, jnp.min(rc, axis=1), 0.0).sum()
+        lb = jax.lax.psum(local_min, axis_name) - lam.sum()
+        return sel, lb
+
     def usage_of(sel):
         s = slots_flat[jnp.arange(T), sel]
-        s = jnp.where(state.tgt_mask[:, None], s, n_slots)
+        s = jnp.where(tgt[:, None], s, n_slots)
         cnt = jnp.zeros((n_slots + 1,), jnp.float32)
         cnt = cnt.at[s.reshape(-1)].add(1.0)
         # THE collective: global usage = sum of shard usages (ICI ring).
         return jax.lax.psum(cnt[:n_slots], axis_name)
 
     def obj_of(sel):
-        local = jnp.where(state.tgt_mask, f[jnp.arange(T), sel], 0.0).sum()
+        local = jnp.where(tgt, f[jnp.arange(T), sel], 0.0).sum()
         return jax.lax.psum(local, axis_name)
 
-    def body(i, carry):
-        lam, best_sel, best_obj, best_feas, best_lb = carry
+    # per-(target, slot) unavoidability (see core/select.py)
+    def _unavoidable():
+        eff = state.leaf_mask & tgt[:, None]
+        s = jnp.where(eff[..., None], slots_flat, n_slots)
+        flat = (jnp.arange(T)[:, None, None] * (n_slots + 1) + s).reshape(-1)
+        cnt_ts = jnp.zeros((T * (n_slots + 1),), jnp.float32)
+        cnt_ts = cnt_ts.at[flat].add(1.0).reshape(T, n_slots + 1)
+        n_live = eff.sum(axis=1).astype(jnp.float32)
+        return (cnt_ts >= n_live[:, None] - 0.5) & (n_live[:, None] > 0.5)
+
+    unavoid = _unavoidable()
+
+    def repair(sel, lam):
+        """Distributed keep-best-per-slot conflict resolution: the keep
+        decision reduces claim keys per slot across shards (pmin); losers
+        repick locally.  Spine priority guarantees termination at the
+        globally feasible all-spines assignment."""
         rc = reduced_cost(lam)
-        sel = jnp.argmin(rc, axis=1)
-        local_min = jnp.where(state.tgt_mask, jnp.min(rc, axis=1), 0.0).sum()
-        lb = jax.lax.psum(local_min, axis_name) - lam.sum()
+
+        def body(carry):
+            sel, banned, it, _ = carry
+            cnt = usage_of(sel)
+            over = cnt > 1.5
+            over_pad = jnp.concatenate([over, jnp.zeros((1,), bool)])
+            own = jnp.where(tgt[:, None],
+                            slots_flat[jnp.arange(T), sel], n_slots)
+            fsel = f[jnp.arange(T), sel]
+            unav_own = jnp.take_along_axis(unavoid, own, axis=1)
+            on_spine = (sel == state.spine_leaf).astype(jnp.float32)
+            key = (fsel[:, None]
+                   - 1e8 * unav_own.astype(jnp.float32)
+                   - 5e7 * on_spine[:, None])
+            claim = jnp.where(over_pad[own], key, jnp.inf)
+            slot_min = jnp.full((n_slots + 1,), jnp.inf)
+            slot_min = slot_min.at[own.reshape(-1)].min(claim.reshape(-1))
+            slot_min = jax.lax.pmin(slot_min, axis_name)   # global min key
+            in_conf = over_pad[own].any(axis=1) & tgt
+            tol = 1e-5 * (1.0 + jnp.abs(slot_min[own]))
+            is_min = over_pad[own] & (key <= slot_min[own] + tol)
+            cand_idx = jnp.where(is_min, gidx[:, None], T_g)
+            slot_owner = jnp.full((n_slots + 1,), T_g, jnp.int32)
+            slot_owner = slot_owner.at[own.reshape(-1)].min(
+                cand_idx.reshape(-1).astype(jnp.int32))
+            slot_owner = jax.lax.pmin(slot_owner, axis_name)  # global owner
+            keeper = jnp.all(~over_pad[own]
+                             | (slot_owner[own] == gidx[:, None]), axis=1)
+            loser = in_conf & ~keeper
+            any_conf = jax.lax.psum(
+                jnp.any(in_conf).astype(jnp.int32), axis_name) > 0
+            banned = banned | (loser[:, None]
+                               & (jnp.arange(L)[None, :] == sel[:, None]))
+            pen = over_pad[slots_flat].sum(axis=2).astype(jnp.float32)
+            rcb = jnp.where(banned, jnp.inf, rc + 1e3 * pen)
+            sel = jnp.where(loser, jnp.argmin(rcb, axis=1), sel)
+            return sel, banned, it + 1, any_conf
+
+        def cond(carry):
+            _, _, it, had_conf = carry
+            return (it < repair_rounds) & had_conf
+
+        sel, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (sel,
+             # banned is shard-varying (tracks local targets)
+             jax.lax.pvary(jnp.zeros((T, L), bool), (axis_name,)),
+             jnp.asarray(0), jnp.asarray(True)))
+        cnt = usage_of(sel)
+        return sel, ~jnp.any(cnt > 1.5)
+
+    def body(carry):
+        (it, lam, best_sel, best_obj, best_feas, best_lb, stale) = carry
+        sel, lb = decode(lam)
         best_lb = jnp.maximum(best_lb, lb)
         cnt = usage_of(sel)
         # used rows raise prices; slack-but-priced rows decay (see
         # core/select.py — without decay the dual diverges).
         g = jnp.where((cnt > 0) | (lam > 0), cnt - 1.0, 0.0)
         feas = ~jnp.any(cnt > 1.5)
-        obj = obj_of(sel)
-        better = feas & ((obj < best_obj) | ~best_feas)
-        best_sel = jnp.where(better, sel, best_sel)
+        do_repair = ~feas & ((it % repair_cadence) == 0)
+        sel_c, feas_c = jax.lax.cond(
+            do_repair, lambda a: repair(*a),
+            lambda a: (a[0], feas), (sel, lam))
+        obj = jnp.where(feas_c, obj_of(sel_c), jnp.inf)
+        better = feas_c & ((obj < best_obj - 1e-6) | ~best_feas)
+        material = feas_c & ((obj < best_obj
+                              - 1e-4 * (1.0 + jnp.abs(best_obj)))
+                             | ~best_feas)
+        best_sel = jnp.where(better, sel_c, best_sel)
         best_obj = jnp.where(better, obj, best_obj)
-        best_feas = best_feas | feas
+        best_feas = best_feas | feas_c
+        stale = jnp.where(material, 0, stale + 1)
         gnorm2 = jnp.maximum(jnp.dot(g, g), 1e-6)
-        gap_est = jnp.where(best_feas, jnp.maximum(best_obj - lb, 1e-3), 1.0)
+        gap_est = jnp.where(best_feas,
+                            jnp.clip(best_obj - lb, 1e-3,
+                                     1.0 + 0.25 * jnp.abs(best_obj)), 1.0)
         # identical on every shard (g and totals are psum'd) -> lam stays
         # replicated without a broadcast.
         lam = jnp.maximum(0.0, lam + theta * gap_est / gnorm2 * g)
-        return lam, best_sel, best_obj, best_feas, best_lb
+        return (it + 1, lam, best_sel, best_obj, best_feas, best_lb, stale)
 
-    # best_sel is shard-varying (depends on local targets); mark the
-    # initial carry accordingly for shard_map's varying-axes typing.
-    init = (jnp.zeros((n_slots,), jnp.float32),
-            jax.lax.pvary(jnp.zeros((T,), jnp.int32), (axis_name,)),
-            jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(False),
-            jnp.asarray(-jnp.inf, jnp.float32))
-    lam, best_sel, best_obj, best_feas, best_lb = jax.lax.fori_loop(
-        0, iters, body, init)
-    return best_sel, best_obj, best_lb, best_feas
+    def cond(carry):
+        (it, lam, best_sel, best_obj, best_feas, best_lb, stale) = carry
+        gap = best_obj - best_lb
+        scale = 1.0 + jnp.abs(best_obj)
+        converged = best_feas & (gap <= 2e-4 * scale)
+        patience_out = (best_feas & (stale >= patience)
+                        & (gap <= 1e-3 * scale))
+        return (it < iters) & ~converged & ~patience_out
+
+    lam_init = jnp.zeros((n_slots,), jnp.float32) if lam0 is None else lam0
+    sel_seed, lb_seed = decode(lam_init)
+    sel_seed, feas_seed = repair(sel_seed, lam_init)
+    obj_seed = jnp.where(feas_seed, obj_of(sel_seed),
+                         jnp.asarray(jnp.inf, jnp.float32))
+
+    init = (jnp.asarray(0), lam_init,
+            sel_seed, obj_seed, feas_seed, lb_seed, jnp.asarray(0))
+    (_, lam, best_sel, best_obj, best_feas,
+     best_lb, _) = jax.lax.while_loop(cond, body, init)
+    return best_sel, best_obj, best_lb, best_feas, lam
 
 
 def make_distributed_select(mesh: Mesh, shapes: TrackerShapes,
@@ -106,12 +213,10 @@ def make_distributed_select(mesh: Mesh, shapes: TrackerShapes,
         return distributed_lagrangian(state, shapes, params, axis_name,
                                       iters=iters)
 
-    in_specs = None  # filled per-state below
-
     def run(state):
         specs = jax.tree_util.tree_map(spec_of, state)
         sm = shard_map(fn, mesh=mesh, in_specs=(specs,),
-                       out_specs=(P(axis_name), P(), P(), P()))
+                       out_specs=(P(axis_name), P(), P(), P(), P()))
         return jax.jit(sm)(state)
 
     return run

@@ -32,10 +32,14 @@ def generate(key, batch: int, n_targets: int, n_scans: int,
              shapes: TrackerShapes, params: TrackerParams,
              radar_range: float, sigma_R: float = 2.5,
              sigma_Q: float = 0.1, P_d: float = None,
-             clutter_rate: float = None) -> McScenario:
+             clutter_rate: float = None,
+             lambda_local: float = 0.0, local_cap: int = 2) -> McScenario:
     """Batched scenario generation mirroring the host simulator's
     semantics (uniform-in-disc, discrete speed set, CV truth with
-    process noise, P_d thinning, Poisson-capped uniform clutter)."""
+    process noise, P_d thinning, per-target local clutter at 3 sigma_R
+    — reference simulator.py:93-96 — and Poisson-capped uniform global
+    clutter).  ``local_cap`` statically bounds local-clutter points per
+    target per scan (Poisson(0.5) exceeds 2 with p=1.4%)."""
     B, K, S = batch, n_targets, n_scans
     M = shapes.max_meas
     period = params.radar_period
@@ -78,7 +82,24 @@ def generate(key, batch: int, n_targets: int, n_scans: int,
     in_rng = jnp.linalg.norm(truth[..., :2], axis=-1) <= radar_range
     det = det & in_rng
 
-    n_clutter_max = M - K
+    # local clutter: Poisson(lambda_local) points per in-range target at
+    # 3*sigma_R around its true position (reference simulator.py:93-96).
+    Cl = local_cap if lambda_local > 0.0 else 0
+    if Cl > 0:
+        kl1, kl2 = jax.random.split(k7)
+        n_loc = jax.random.poisson(kl1, lambda_local, (B, S, K))
+        l_xy = (truth[..., None, :2]
+                + 3.0 * sigma_R * jax.random.normal(kl2, (B, S, K, Cl, 2)))
+        l_mask = ((jnp.arange(Cl)[None, None, None, :] < n_loc[..., None])
+                  & in_rng[..., None])
+        l_xy = l_xy.reshape(B, S, K * Cl, 2)
+        l_mask = l_mask.reshape(B, S, K * Cl)
+    else:
+        l_xy = jnp.zeros((B, S, 0, 2), jnp.float32)
+        l_mask = jnp.zeros((B, S, 0), bool)
+
+    n_clutter_max = M - K - K * Cl
+    assert n_clutter_max > 0, "max_meas too small for targets + local clutter"
     c_xy = jax.random.uniform(kc, (B, S, n_clutter_max, 2),
                               minval=-radar_range, maxval=radar_range)
     c_ok = jnp.linalg.norm(c_xy, axis=-1) <= radar_range
@@ -86,8 +107,8 @@ def generate(key, batch: int, n_targets: int, n_scans: int,
     c_mask = (jnp.arange(n_clutter_max)[None, None, :]
               < n_clutter[..., None]) & c_ok
 
-    z = jnp.concatenate([z_t, c_xy], axis=2)                # [B,S,M,2]
-    z_mask = jnp.concatenate([det, c_mask], axis=2)
+    z = jnp.concatenate([z_t, l_xy, c_xy], axis=2)          # [B,S,M,2]
+    z_mask = jnp.concatenate([det, l_mask, c_mask], axis=2)
     times = (jnp.arange(S, dtype=jnp.float32) + 1) * period
     return McScenario(truth=truth, z=z, z_mask=z_mask, times=times)
 
@@ -104,7 +125,9 @@ def run_batch(scenario: McScenario, shapes: TrackerShapes,
     step = make_batched_step(shapes, params, method=method, use_ais=False)
     state_b, istate_b = batch_states(shapes, params, B)
 
-    # pre-initialise each scenario's targets from truth at t=0
+    # pre-initialise each scenario's targets from truth at the first scan
+    # time (truth[:, 0] is the state at times[0]; the first tracked scan
+    # then predicts with dt=0, which is exact).
     T = shapes.max_targets
     def pre(state, x0):
         xs = jnp.zeros((T, 4), jnp.float32).at[:K].set(x0[:K])
@@ -112,7 +135,7 @@ def run_batch(scenario: McScenario, shapes: TrackerShapes,
         return insert_targets(state, xs,
                               jnp.broadcast_to(pv.P0, (T, 4, 4)),
                               mask, jnp.zeros((T,), jnp.int32),
-                              jnp.asarray(0.0), params)
+                              scenario.times[0], params)
     state_b = jax.vmap(pre)(state_b, scenario.truth[:, 0])
 
     ais_b = jax.tree_util.tree_map(

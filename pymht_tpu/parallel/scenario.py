@@ -48,10 +48,6 @@ def batch_states(shapes: TrackerShapes, params: TrackerParams, n: int):
             jax.tree_util.tree_map(tile, istate))
 
 
-def _spec_for(x, scenario_axis=True, cluster_axes=()):  # pragma: no cover
-    raise NotImplementedError
-
-
 def make_sharded_step(mesh: Mesh, shapes: TrackerShapes,
                       params: TrackerParams, method: str = 'lagrangian',
                       use_ais: bool = False):

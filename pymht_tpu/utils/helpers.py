@@ -23,7 +23,8 @@ def backtrack_measurement_numbers(tracker, track_id=None,
     when ``track_id`` is given.
     """
     seqs = tracker._track_measurement_sequences(include_terminated)
-    out = {tid: (times, labels) for tid, (times, labels, _) in seqs.items()}
+    out = {tid: (times, labels)
+           for tid, (times, labels, _s, _m) in seqs.items()}
     if track_id is not None:
         return out.get(int(track_id))
     return out

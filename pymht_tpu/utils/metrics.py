@@ -37,7 +37,7 @@ def evaluate(tracker, sim_list, radar_period, match_threshold=20.0,
     seqs = tracker._track_measurement_sequences(include_terminated=True)
     # Build per-track (time -> state) maps in absolute time.
     track_states = {}
-    for tid, (times, labels, states) in seqs.items():
+    for tid, (times, labels, states, _mmsi) in seqs.items():
         track_states[tid] = {
             round(float(t) + tracker.t0, 6): np.asarray(s)
             for t, s in zip(times, states) if t is not None}

@@ -63,7 +63,8 @@ def plot_tracks(ax, tracker, colors=None, smooth=False,
     seqs = tracker._track_measurement_sequences(
         include_terminated=include_terminated)
     term_ids = set(tracker.terminated)
-    for i, (tid, (times, labels, states)) in enumerate(sorted(seqs.items())):
+    for i, (tid, (times, labels, states, _mmsi)) in \
+            enumerate(sorted(seqs.items())):
         overlay = None
         if tid in smoothed and smoothed[tid][2]:
             overlay = smoothed[tid][0]

@@ -47,6 +47,7 @@ STATUS = "status"
 TERMINATED = "terminated"
 N_SCANS = "nScans"
 RADAR_PERIOD = "radarPeriod"
+S_INV = "S_inv"     # reference xmlDefinitions.py:60 inverseResidualCovarianceTag
 TIME_LOG_PRECISION = 6
 
 
@@ -120,8 +121,43 @@ def store_tracker_settings(parent, shapes, params, **extra):
     return e
 
 
-def store_run(parent, tracker, smooth=True, **attrib):
-    """Per-run tracks + runtimes (reference _storeRun/_storeNode)."""
+def _sinv_sequence(times, labels, params):
+    """Innovation-covariance inverses along a track, recomputed from the
+    covariance recursion (the reference stores each node's S_inv,
+    pyTarget.py:782-784; the recursion needs no measurements — P evolves
+    deterministically given the detection pattern)."""
+    from ..models import pv
+    C = np.asarray(pv.C_RADAR, np.float64)
+    R = np.asarray(pv.R_RADAR(), np.float64)
+    P = np.asarray(pv.P0, np.float64)
+    out = []
+    prev_t = None
+    for t, lab in zip(times, labels):
+        dt = params.radar_period if prev_t is None or t is None \
+            else max(float(t) - float(prev_t), 0.0)
+        F = np.asarray(pv.Phi(dt), np.float64)
+        Q = np.asarray(pv.Q(dt), np.float64)
+        P_bar = F @ P @ F.T + Q
+        S = C @ P_bar @ C.T + R
+        S_inv = np.linalg.inv(S)
+        out.append(S_inv.astype(np.float32))
+        if lab is not None and lab >= 1:
+            K = P_bar @ C.T @ S_inv
+            P = P_bar - K @ C @ P_bar
+        else:
+            P = P_bar
+        prev_t = t
+    return out
+
+
+def store_run(parent, tracker, smooth=True, sparse=False,
+              include_sinv=True, **attrib):
+    """Per-run tracks + runtimes (reference _storeRun, tracker.py:1500-1545;
+    _storeNode/_storeNodeSparse, pyTarget.py:745-829).
+
+    ``sparse`` mirrors the reference's non-preinitialized mode: only the
+    first and last states per track, no smoothed states, no S_inv.
+    """
     run = ET.SubElement(parent, RUN,
                         attrib={str(k): str(v) for k, v in attrib.items()})
     if tracker.runtime_log:
@@ -132,17 +168,31 @@ def store_run(parent, tracker, smooth=True, **attrib):
             MAX: str(round(float(rt.max()), TIME_LOG_PRECISION)),
         })
     smoothed = tracker.get_smooth_tracks(include_terminated=True) \
-        if smooth else {}
+        if smooth and not sparse else {}
     seqs = tracker._track_measurement_sequences(include_terminated=True)
     statuses = {tid: a.status for tid, a in tracker.terminated.items()}
-    for tid, (times, labels, states) in seqs.items():
+    for tid, (times, labels, states, mmsis) in seqs.items():
         track = ET.SubElement(run, TRACK, attrib={ID: str(tid)})
         track.attrib[LENGTH] = str(len(times))
+        # historical MMSI (reference _getHistoricalMmsi, pyTarget.py:297-302)
+        hist_mmsi = max((m for m in mmsis if m), default=0)
+        if hist_mmsi:
+            track.attrib[MMSI] = str(hist_mmsi)
         if tid in statuses:
             track.attrib[TERMINATED] = str(True)
         raw = ET.SubElement(track, STATES)
-        for t, x in zip(times, states):
-            _state_element(raw, t, x, statuses.get(tid))
+        if sparse:
+            idxs = (0, len(times) - 1) if len(times) > 1 else (0,)
+            for i in idxs:
+                _state_element(raw, times[i], states[i], statuses.get(tid))
+            continue
+        sinvs = _sinv_sequence(times, labels, tracker.params) \
+            if include_sinv else [None] * len(times)
+        for t, x, si in zip(times, states, sinvs):
+            e = _state_element(raw, t, x, statuses.get(tid))
+            if si is not None:
+                ET.SubElement(e, S_INV).text = np.array_str(
+                    si, max_line_width=9999)
         if smooth and tid in smoothed:
             pos, vel, ok = smoothed[tid]
             if ok:

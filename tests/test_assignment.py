@@ -57,3 +57,54 @@ def test_simple_cross():
     valid = jnp.ones((2, 2), bool)
     out = np.asarray(auction_assign(cost, valid))
     assert out.tolist() == [0, 1]
+
+
+def test_initiator_contested_pairing_is_optimal():
+    """A contested initiator<->measurement pairing where greedy drops a
+    pairing but the optimal assignment keeps both (reference exact
+    Munkres, m_of_n.py:380-413).  Geometry: initiator i1 can only reach
+    m0; greedy lets i0 grab m0 first and strands i1."""
+    import jax.numpy as jnp
+    from pymht_tpu.core.config import TrackerShapes, TrackerParams
+    from pymht_tpu.core import initiator as initiator_mod
+    from pymht_tpu.core.grow import empty_ais
+
+    shapes = TrackerShapes(max_targets=8, max_leaves=4, max_meas=4,
+                           max_ais=2, window=3, max_prelim=8,
+                           max_initiators=8)
+    params = TrackerParams(radar_period=1.0, max_speed=5.0)
+    st = initiator_mod.empty_initiator(shapes)
+
+    def pad(pts):
+        z = np.zeros((shapes.max_meas, 2), np.float32)
+        mask = np.zeros((shapes.max_meas,), bool)
+        z[:len(pts)] = pts
+        mask[:len(pts)] = True
+        return jnp.asarray(z), jnp.asarray(mask)
+
+    # scan 0: two measurements become initiators
+    z0, m0 = pad([(0.0, 0.0), (2.1, 0.0)])
+    out = initiator_mod.step(st, z0, m0, jnp.asarray(0.0), empty_ais(shapes),
+                             shapes, params)
+    st = out.state
+    assert int(np.asarray(st.i_mask).sum()) == 2
+
+    # scan 1 (dt=1, gate=5): m0=(1,0) is reachable by both initiators
+    # (cost 1.0 vs 1.1); m1=(0,4.9) only by i0 (d(i1,m1)=5.33 > gate).
+    z1, m1 = pad([(1.0, 0.0), (0.0, 4.9)])
+    out = initiator_mod.step(st, z1, m1, jnp.asarray(1.0), empty_ais(shapes),
+                             shapes, params)
+    st = out.state
+    # optimal: i0 -> m1, i1 -> m0 => TWO preliminary tracks
+    pm = np.asarray(st.p_mask)
+    assert pm.sum() == 2, f"expected 2 prelims, got {pm.sum()}"
+    pos = np.asarray(st.p_x)[pm, :2]
+    np.testing.assert_allclose(
+        sorted(map(tuple, pos.tolist())),
+        [(0.0, 4.9), (1.0, 0.0)], atol=1e-5)
+
+    # cross-check against scipy on the same cost matrix
+    cost = np.array([[1.0, 4.9], [1.1, 5.33]])
+    valid = np.array([[True, True], [True, False]])
+    ref = _oracle(cost, valid)
+    assert (ref >= 0).sum() == 2

@@ -1,13 +1,15 @@
-"""Target-sharded selection with psum collectives equals the
-single-device solver."""
+"""Target-sharded selection with psum/pmin collectives: equality with the
+single-device solver, feasibility under conflict-dense (infeasible
+decode) instances, and the full sharded scan step."""
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
+import pytest
 
 from pymht_tpu.core.config import TrackerShapes, TrackerParams
 from pymht_tpu.core.state import empty_state, insert_targets
-from pymht_tpu.core.grow import Scan, grow
+from pymht_tpu.core.grow import Scan, empty_ais, grow
 from pymht_tpu.core.select import select_lagrangian
 from pymht_tpu.parallel.distributed_select import make_distributed_select
 from pymht_tpu.models import pv
@@ -42,13 +44,37 @@ def _conflicted_state(seed=0):
     return g.state
 
 
+def _monster_state(seed=3):
+    """All eight targets packed around the origin sharing nearly every
+    measurement: the independent decode is guaranteed infeasible, so the
+    distributed repair machinery must engage."""
+    rng = np.random.default_rng(seed)
+    state = empty_state(SHAPES, PARAMS)
+    xs = np.zeros((8, 4), np.float32)
+    for i in range(8):
+        xs[i, :2] = rng.normal(0, 2.0, 2)
+        xs[i, 2:] = [1.0, 0.0]
+    state = insert_targets(state, jnp.asarray(xs),
+                           jnp.broadcast_to(pv.P0, (8, 4, 4)),
+                           jnp.ones(8, bool), jnp.zeros(8, jnp.int32),
+                           jnp.asarray(0.0), PARAMS)
+    # fewer attractive measurements than targets
+    z = np.concatenate([
+        xs[:4, :2] + xs[:4, 2:] * 2.5 + rng.normal(0, 0.5, (4, 2)),
+        rng.normal(0, 150, (12, 2))]).astype(np.float32)
+    scan = Scan(z=jnp.asarray(z), mask=jnp.ones(16, bool),
+                time=jnp.asarray(2.5, jnp.float32))
+    g = grow(state, scan, None, SHAPES, PARAMS, use_gate_kernel=False)
+    return g.state
+
+
 def test_distributed_matches_single_device():
     state = _conflicted_state()
     ref = select_lagrangian(state, SHAPES, PARAMS)
 
     mesh = Mesh(np.array(jax.devices()[:4]), ('cluster',))
     run = make_distributed_select(mesh, SHAPES, PARAMS, iters=60)
-    sel, obj, lb, feas = run(state)
+    sel, obj, lb, feas, lam = run(state)
 
     assert bool(feas)
     # objective must match the single-device solver's (both converge to
@@ -56,3 +82,111 @@ def test_distributed_matches_single_device():
     assert abs(float(obj) - float(ref.obj)) < 1e-3 * (1 + abs(float(ref.obj)))
     # and the lower bound must bound the objective
     assert float(lb) <= float(obj) + 1e-4
+
+
+@pytest.mark.parametrize("ndev", [4, 8])
+def test_distributed_repair_on_infeasible_decode(ndev):
+    """Conflict-dense instance: the raw decode is infeasible; the
+    distributed spine-priority repair must still return a feasible
+    selection within 0.5% of the exact MILP oracle."""
+    state = _monster_state()
+    from pymht_tpu.core.select import _independent_best
+    _, _, feas0 = _independent_best(state, SHAPES, PARAMS)
+    assert not bool(feas0), "instance must start infeasible"
+
+    mesh = Mesh(np.array(jax.devices()[:ndev]), ('cluster',))
+    run = make_distributed_select(mesh, SHAPES, PARAMS, iters=60)
+    sel, obj, lb, feas, lam = run(state)
+    assert bool(feas)
+
+    # verify feasibility of the returned selection directly
+    from pymht_tpu.core.select import _slot_index
+    slots, n_slots = _slot_index(state, SHAPES)
+    sf = np.asarray(slots).reshape(8, SHAPES.max_leaves, -1)
+    sel_np = np.asarray(sel)
+    used = set()
+    for t in range(8):
+        for s in sf[t, sel_np[t]]:
+            if s < n_slots:
+                assert s not in used, "slot used twice"
+                used.add(s)
+
+    from pymht_tpu.utils.oracle import milp_select_oracle
+    _, obj_o, optimal = milp_select_oracle(state, SHAPES, PARAMS)
+    assert optimal
+    assert float(obj) <= obj_o + 5e-3 * (1 + abs(obj_o))
+
+
+def test_sharded_scan_step_matches_single_device():
+    """Multi-scan e2e: the target-sharded full step tracks the same
+    objects as the single-device step (pre-initialized slots compared on
+    selected labels + states)."""
+    from pymht_tpu.core.tracker import scan_step
+    from pymht_tpu.core import initiator as initiator_mod
+    from pymht_tpu.parallel.sharded_tracker import make_sharded_tracker_step
+
+    shapes = TrackerShapes(max_targets=8, max_leaves=8, max_meas=16,
+                           max_ais=2, window=5)
+    params = TrackerParams(radar_period=2.5, P_d=0.9, lambda_phi=1e-6,
+                           lambda_nu=1e-6, N=3, radar_range=float('inf'),
+                           cnllr_upper_limit=1e9,
+                           score_upper_limit_scale=1e6)
+    rng = np.random.default_rng(5)
+    xs = np.zeros((4, 4), np.float32)
+    for i in range(4):
+        xs[i, :2] = [30 * i, 3.0 * (i % 2)]
+        xs[i, 2:] = [2.0, 0.0]
+
+    def seed_state():
+        st = empty_state(shapes, params)
+        mask = np.zeros(8, bool)
+        mask[:4] = True
+        xs8 = np.zeros((8, 4), np.float32)
+        xs8[:4] = xs
+        return insert_targets(st, jnp.asarray(xs8),
+                              jnp.broadcast_to(pv.P0, (8, 4, 4)),
+                              jnp.asarray(mask), jnp.zeros(8, jnp.int32),
+                              jnp.asarray(0.0), params)
+
+    scans = []
+    for k in range(4):
+        t = 2.5 * (k + 1)
+        z = np.concatenate([
+            xs[:, :2] + xs[:, 2:] * t + rng.normal(0, 1.0, (4, 2)),
+            xs[:2, :2] + xs[:2, 2:] * t + np.array([0., 2.5])
+            + rng.normal(0, 1.0, (2, 2)),
+        ]).astype(np.float32)
+        zp = np.zeros((16, 2), np.float32)
+        zp[:len(z)] = z
+        mask = np.zeros(16, bool)
+        mask[:len(z)] = True
+        scans.append(Scan(z=jnp.asarray(zp), mask=jnp.asarray(mask),
+                          time=jnp.asarray(t, jnp.float32)))
+
+    # single device
+    st1 = seed_state()
+    ist1 = initiator_mod.empty_initiator(shapes)
+    labels1, states1 = [], []
+    for sc in scans:
+        st1, ist1, out = scan_step(st1, ist1, sc, empty_ais(shapes),
+                                   shapes, params, method='lagrangian',
+                                   use_ais=False)
+        labels1.append(np.asarray(out.sel_hist_meas)[:4, -1])
+        states1.append(np.asarray(out.track_x)[:4])
+
+    # sharded (4 devices x 2 targets)
+    mesh = Mesh(np.array(jax.devices()[:4]), ('cluster',))
+    step = make_sharded_tracker_step(mesh, shapes, params)
+    st2 = seed_state()
+    ist2 = initiator_mod.empty_initiator(shapes)
+    labels2, states2 = [], []
+    for sc in scans:
+        st2, ist2, out = step(st2, ist2, sc, empty_ais(shapes))
+        labels2.append(np.asarray(out['sel_hist_meas'])[:4, -1])
+        states2.append(np.asarray(out['track_x'])[:4])
+
+    for k in range(len(scans)):
+        np.testing.assert_array_equal(labels1[k], labels2[k],
+                                      err_msg=f"scan {k}")
+        np.testing.assert_allclose(states1[k], states2[k], atol=1e-4,
+                                   err_msg=f"scan {k}")
