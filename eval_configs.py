@@ -107,13 +107,21 @@ def main():
                  window=7, max_prelim=16, max_initiators=64)
     big = dict(max_targets=80, max_leaves=16, max_meas=192, max_ais=4,
                window=5, max_prelim=32, max_initiators=192)
-    run_config("1_crossing", 2, 0.0, 1.0, 5, small, radar_range=2000.0)
-    run_config("2_10tgt_clutter", 10, 2e-6, 0.9, 5, small)
-    run_config("3_50tgt_dense", 50 if FULL else 24, 4e-6, 0.9, 3, big,
-               radar_range=2000.0)
-    run_montecarlo("4_mc_batch", 64 if FULL else 8, 4)
-    run_config("5_ais_swarm", 12, 1e-6, 0.9, 4, small, use_ais=True,
-               radar_range=1500.0)
+    results = [
+        run_config("1_crossing", 2, 0.0, 1.0, 5, small, radar_range=2000.0),
+        run_config("2_10tgt_clutter", 10, 2e-6, 0.9, 5, small),
+        run_config("3_50tgt_dense", 50 if FULL else 24, 4e-6, 0.9, 3, big,
+                   radar_range=2000.0),
+        run_montecarlo("4_mc_batch", 64 if FULL else 8, 4),
+        run_config("5_ais_swarm", 12, 1e-6, 0.9, 4, small, use_ais=True,
+                   radar_range=1500.0),
+    ]
+    out_path = os.environ.get("EVAL_OUT")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump({"scale": "full" if FULL else "small",
+                       "configs": results}, fh, indent=1)
+        print(f"wrote {out_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

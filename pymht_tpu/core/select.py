@@ -98,29 +98,46 @@ def _slot_index(state: TrackerState, shapes: TrackerShapes):
     return slots, n_slots
 
 
+def _hist_usage(state: TrackerState, shapes: TrackerShapes,
+                tgt_filter=None):
+    """Dense per-target slot-usage tensor [T, W, M+A] (bool): does any
+    live leaf of target t associate radar measurement m (column block
+    [0, M)) or AIS message a (block [M, M+A)) at window column w?
+
+    Slot ordering matches ``_slot_index`` (slot id = w*(M+A) + block
+    offset).  Built with dense compares — no scatter/gather, which on
+    TPU cost ~400us for these sizes while dense compares are ~30us.
+    """
+    T, L, W = state.hist_meas.shape
+    M, A = shapes.max_meas, shapes.max_ais
+    live = state.leaf_mask
+    if tgt_filter is not None:
+        live = live & tgt_filter[:, None]
+    um = ((state.hist_meas[..., None] == jnp.arange(1, M + 1))
+          & live[:, :, None, None]).any(axis=1)            # [T, W, M]
+    ua = ((state.hist_ais[..., None] == jnp.arange(1, A + 1))
+          & live[:, :, None, None]).any(axis=1)            # [T, W, A]
+    return jnp.concatenate([um, ua], axis=2)               # [T, W, M+A]
+
+
 def target_usage(state: TrackerState, shapes: TrackerShapes):
     """[T, n_slots] bool: does any live leaf of target t use slot s?"""
-    slots, n_slots = _slot_index(state, shapes)
-    T, L, W, _ = slots.shape
-    s = jnp.where(state.leaf_mask[..., None, None], slots, n_slots)
-    flat_idx = (jnp.arange(T)[:, None, None, None] * (n_slots + 1)
-                + s).reshape(-1)
-    use = jnp.zeros((T * (n_slots + 1),), bool).at[flat_idx].set(True)
-    use = use.reshape(T, n_slots + 1)[:, :n_slots]
-    return use, n_slots
+    use = _hist_usage(state, shapes)
+    T, W, P = use.shape
+    return use.reshape(T, W * P), W * P
 
 
 # ----------------------------------------------------------------------
 # Clustering (reference tracker.py:961-974)
 # ----------------------------------------------------------------------
 
-def cluster(state: TrackerState, shapes: TrackerShapes):
+def cluster(state: TrackerState, shapes: TrackerShapes, usage=None):
     """Connected components of the target–measurement sharing graph via
     min-label propagation with pointer jumping (log-depth convergence
     even for chain-shaped clusters)."""
-    use, _ = target_usage(state, shapes)
+    use = _hist_usage(state, shapes) if usage is None else usage
     T = use.shape[0]
-    usef = use.astype(jnp.float32)
+    usef = use.reshape(T, -1).astype(jnp.float32)
     adj = (usef @ usef.T) > 0                              # share >=1 slot
     adj = adj & state.tgt_mask[:, None] & state.tgt_mask[None, :]
     adj = adj | (jnp.eye(T, dtype=bool) & state.tgt_mask[:, None])
@@ -146,10 +163,8 @@ def cluster(state: TrackerState, shapes: TrackerShapes):
 
 def cluster_sizes(labels: jnp.ndarray, tgt_mask: jnp.ndarray):
     """[T] member count of each target's cluster (0 for inactive)."""
-    T = labels.shape[0]
-    per_label = jnp.zeros((T + 1,), jnp.int32).at[labels].add(
-        tgt_mask.astype(jnp.int32))
-    return jnp.where(tgt_mask, per_label[jnp.clip(labels, 0, T)], 0)
+    same = (labels[:, None] == labels[None, :]) & tgt_mask[None, :]
+    return jnp.where(tgt_mask, same.sum(axis=1).astype(jnp.int32), 0)
 
 
 # ----------------------------------------------------------------------
@@ -251,11 +266,13 @@ def _enum_small_clusters(state: TrackerState, f: jnp.ndarray,
     bid_of_root = jnp.cumsum(is_root.astype(jnp.int32)) - 1  # [T]
     bucket_of = jnp.where(small, bid_of_root[jnp.clip(labels, 0, T - 1)], B)
 
-    # members [B, K]: target index or T (dummy)
-    flat = jnp.where(small, bucket_of * K + rank, B * K)
-    members_flat = jnp.full((B * K + 1,), T, jnp.int32)
-    members_flat = members_flat.at[flat].set(jnp.where(small, tidx, T))
-    members = members_flat[:B * K].reshape(B, K)
+    # members [B, K]: target index or T (dummy) — dense build (a
+    # scatter here costs ~300us on TPU, the compare-argmax is free)
+    hit = (small[None, None, :]
+           & (bucket_of[None, None, :] == jnp.arange(B)[:, None, None])
+           & (rank[None, None, :] == jnp.arange(K)[None, :, None]))
+    members = jnp.where(hit.any(axis=2),
+                        jnp.argmax(hit, axis=2), T)        # [B, K]
 
     # candidate tables padded with a dummy target row (cost 0, no slots)
     cand_idx = _candidate_sets(state, f, C)                 # [T,C]
@@ -548,6 +565,148 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
 
 
 # ----------------------------------------------------------------------
+# Tier 3 compact solver: Lagrangian over CONTESTED slots only
+# ----------------------------------------------------------------------
+
+def _compact_lagrangian(f, Uc, lam0, spine, eff_tgt, eff_leaf,
+                        obj_offset, iters=60, theta=1.5, patience=4,
+                        repair_rounds=8, repair_cadence=4):
+    """Subgradient ascent in the compact contested-slot space.
+
+    ``Uc [T, L, C]`` is the 0/1 usage of contested slot c by leaf (t,l),
+    already masked to live leaves of participating targets.  Every loop
+    op is a small dense einsum/reduction — on TPU each body runs in
+    ~20us where the full-slot gather/scatter formulation costs ~400us
+    per op.  Semantics match select_lagrangian restricted to the
+    participants: uncontested slots can never conflict (they are used by
+    at most one participant through any leaf), so dualising only the
+    contested set is exact.
+    """
+    T, L, CAP = Uc.shape
+    tb = jnp.arange(T)
+    obj_offset = jnp.asarray(obj_offset, jnp.float32)
+
+    n_live = eff_leaf.sum(axis=1).astype(jnp.float32)
+    unavoid = ((Uc.sum(axis=1) >= n_live[:, None] - 0.5)
+               & (n_live[:, None] > 0.5))                  # [T, CAP]
+
+    def rc_of(lam):
+        return f + jnp.einsum('tlc,c->tl', Uc, lam)
+
+    def usel_of(sel):
+        return jnp.take_along_axis(Uc, sel[:, None, None], axis=1)[:, 0]
+
+    def decode(lam):
+        rc = rc_of(lam)
+        sel = jnp.argmin(rc, axis=1)
+        lb = (jnp.where(eff_tgt, jnp.min(rc, axis=1), 0.0).sum()
+              - lam.sum())
+        return sel, lb
+
+    def obj_of(sel):
+        return jnp.where(eff_tgt, f[tb, sel], 0.0).sum()
+
+    def repair(sel, lam):
+        rc = rc_of(lam)
+
+        def body(carry):
+            sel, banned, it, _ = carry
+            usel = usel_of(sel)                            # [T, CAP]
+            cnt = usel.sum(axis=0)
+            over = cnt > 1.5                               # [CAP]
+            fsel = f[tb, sel]
+            on_spine = (sel == spine).astype(jnp.float32)
+            keyc = (fsel[:, None] - 5e7 * on_spine[:, None]
+                    - 1e8 * unavoid.astype(jnp.float32))   # [T, CAP]
+            claiming = (usel > 0.5) & over[None, :]
+            claim = jnp.where(claiming, keyc, jnp.inf)
+            slot_min = jnp.min(claim, axis=0)              # [CAP]
+            in_conf = claiming.any(axis=1) & eff_tgt
+            tol = 1e-5 * (1.0 + jnp.abs(slot_min))
+            is_min = claiming & (keyc <= (slot_min + tol)[None, :])
+            cand = jnp.where(is_min, tb[:, None], T)
+            owner = jnp.min(cand, axis=0)                  # [CAP]
+            keeper = jnp.all(~claiming | (owner[None, :] == tb[:, None]),
+                             axis=1)
+            loser = in_conf & ~keeper
+            banned = banned | (loser[:, None]
+                               & (jnp.arange(L)[None, :] == sel[:, None]))
+            pen = jnp.einsum('tlc,c->tl', Uc, over.astype(jnp.float32))
+            rcb = jnp.where(banned, jnp.inf, rc + 1e3 * pen)
+            sel = jnp.where(loser, jnp.argmin(rcb, axis=1), sel)
+            return sel, banned, it + 1, jnp.any(in_conf)
+
+        def cond(carry):
+            _, _, it, had_conf = carry
+            return (it < repair_rounds) & had_conf
+
+        sel, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (sel, jnp.zeros((T, L), bool), jnp.asarray(0),
+             jnp.asarray(True)))
+        cnt = usel_of(sel).sum(axis=0)
+        return sel, ~jnp.any(cnt > 1.5)
+
+    def body(carry):
+        (it, lam, best_sel, best_obj, best_feas, best_lb, stale,
+         th, lb_stale) = carry
+        sel, lb = decode(lam)
+        lb_up = lb > best_lb + 1e-6 * (1.0 + jnp.abs(best_lb))
+        best_lb = jnp.maximum(best_lb, lb)
+        cnt = usel_of(sel).sum(axis=0)
+        g = jnp.where((cnt > 0) | (lam > 0), cnt - 1.0, 0.0)
+        feas = ~jnp.any(cnt > 1.5)
+        do_repair = ~feas & ((it % repair_cadence) == 0)
+        sel_c, feas_c = _cond(do_repair, lambda a: repair(*a),
+                              lambda a: (a[0], feas), (sel, lam))
+        obj = jnp.where(feas_c, obj_of(sel_c), jnp.inf)
+        better = feas_c & ((obj < best_obj - 1e-6) | ~best_feas)
+        material = feas_c & ((obj < best_obj
+                              - 1e-4 * (1.0 + jnp.abs(best_obj)))
+                             | ~best_feas)
+        best_sel = jnp.where(better, sel_c, best_sel)
+        best_obj = jnp.where(better, obj, best_obj)
+        best_feas = best_feas | feas_c
+        stale = jnp.where(material, 0, stale + 1)
+        # Held-Karp step schedule: a fixed theta oscillates around the
+        # optimum on some instances — halve it whenever the dual bound
+        # has not improved for 3 consecutive iterations.
+        lb_stale = jnp.where(lb_up, 0, lb_stale + 1)
+        halve = lb_stale >= 3
+        th = jnp.where(halve, jnp.maximum(th * 0.5, 0.05), th)
+        lb_stale = jnp.where(halve, 0, lb_stale)
+        gnorm2 = jnp.maximum(jnp.dot(g, g), 1e-6)
+        gap_est = jnp.where(
+            best_feas,
+            jnp.clip(best_obj - lb, 1e-3, 1.0 + 0.25 * jnp.abs(best_obj)),
+            1.0)
+        lam = jnp.maximum(0.0, lam + th * gap_est / gnorm2 * g)
+        return (it + 1, lam, best_sel, best_obj, best_feas, best_lb, stale,
+                th, lb_stale)
+
+    def cond(carry):
+        (it, lam, best_sel, best_obj, best_feas, best_lb, stale,
+         th, lb_stale) = carry
+        gap = best_obj - best_lb
+        scale = 1.0 + jnp.abs(obj_offset + best_obj)
+        converged = best_feas & (gap <= 2e-4 * scale)
+        patience_out = (best_feas & (stale >= patience)
+                        & (gap <= 1e-3 * scale))
+        return (it < iters) & ~converged & ~patience_out
+
+    sel_seed, lb_seed = decode(lam0)
+    sel_seed, feas_seed = repair(sel_seed, lam0)
+    obj_seed = jnp.where(feas_seed, obj_of(sel_seed),
+                         jnp.asarray(jnp.inf, jnp.float32))
+    init = (jnp.asarray(0), lam0, sel_seed, obj_seed, feas_seed,
+            lb_seed, jnp.asarray(0), jnp.asarray(theta, jnp.float32),
+            jnp.asarray(0))
+    (_, lam, best_sel, best_obj, best_feas,
+     best_lb, _, _, _) = jax.lax.while_loop(cond, body, init)
+    return best_sel, best_feas, best_obj, best_lb, lam
+
+
+# ----------------------------------------------------------------------
 # The tiered hybrid (production path)
 # ----------------------------------------------------------------------
 
@@ -556,17 +715,23 @@ def select_hybrid(state: TrackerState, shapes: TrackerShapes,
                   theta: float = 1.5,
                   enum_cands: int = C_ENUM,
                   patience: int = 4,
+                  contested_cap: int = 256,
                   labels_in=None, **lag_kw) -> SelectionResult:
     """Cluster-decomposed selection: exact enumeration for small
-    clusters, restricted Lagrangian for big ones (see module docstring).
+    clusters, compact contested-slot Lagrangian for big ones (see module
+    docstring).
     """
     T, L, W = state.hist_meas.shape
+    M, A = shapes.max_meas, shapes.max_ais
+    P = M + A
     slots, n_slots = _slot_index(state, shapes)
     slots_flat = slots.reshape(T, L, W * 2)
     f = leaf_scores(state, params)
+    tb = jnp.arange(T)
 
+    usage = _hist_usage(state, shapes)                     # [T, W, P]
     if labels_in is None:
-        labels, n_clusters = cluster(state, shapes)
+        labels, n_clusters = cluster(state, shapes, usage=usage)
     else:
         labels, n_clusters = labels_in
     csize = cluster_sizes(labels, state.tgt_mask)
@@ -581,36 +746,70 @@ def select_hybrid(state: TrackerState, shapes: TrackerShapes,
     # tier 2: small clusters — batched exact enumeration
     sel_enum, obj_small = _enum_small_clusters(
         state, f, slots_flat, n_slots, labels, small, C=enum_cands)
-
-    # tier 3: big clusters — restricted warm-started Lagrangian.  Dual
-    # prices on slots unreachable by big-cluster targets are zeroed so
-    # the dual bound is tight for the subproblem.
-    s_used = jnp.where((state.leaf_mask & big[:, None])[..., None],
-                       slots_flat, n_slots)
-    slot_in_big = jnp.zeros((n_slots + 1,), bool).at[
-        s_used.reshape(-1)].set(True)[:n_slots]
-    lam_big = jnp.where(slot_in_big, state.lam, 0.0)
     exact_obj = obj_single + obj_small
 
+    # tier 3: big clusters — compact contested-slot Lagrangian.  Only
+    # slots used by >=2 big-cluster targets can conflict or carry dual
+    # prices; compacting to those CAP slots makes every loop op a small
+    # dense tensor op (no 400us gathers/scatters).
+    CAP = contested_cap
+    cnt_big = (usage & big[:, None, None]).sum(axis=0)     # [W, P]
+    contested = (cnt_big >= 2).reshape(W * P)              # [S]
+    n_cont = contested.sum()
+    r = jnp.cumsum(contested.astype(jnp.int32)) - 1
+    onehot_c = (contested & (r < CAP))[:, None] \
+        & (r[:, None] == jnp.arange(CAP)[None, :])         # [S, CAP]
+    oc_f = onehot_c.astype(jnp.float32)
+    s_ids = jnp.arange(W * P)
+    off = s_ids % P
+    is_ais_s = off >= M
+    val_of = jnp.where(is_ais_s, off - M + 1, off + 1)
+    cw = (oc_f * (s_ids // P)[:, None]).sum(axis=0).astype(jnp.int32)
+    cval = (oc_f * val_of[:, None]).sum(axis=0).astype(jnp.int32)
+    cais = (onehot_c & is_ais_s[:, None]).any(axis=0)      # [CAP]
+    # per-leaf contested usage (cval=0 for empty columns never matches)
+    wids = jnp.arange(W)[None, None, :, None]
+    m_match = (state.hist_meas[..., None] == cval) & ~cais
+    a_match = (state.hist_ais[..., None] == cval) & cais
+    eff_leaf = state.leaf_mask & big[:, None]
+    use_c = ((m_match | a_match) & (wids == cw)).any(axis=2)
+    Uc = (use_c & eff_leaf[..., None]).astype(jnp.float32)  # [T, L, CAP]
+    lam_c0 = jnp.einsum('s,sc->c', state.lam, oc_f)
+
     def run_big(_):
-        res = select_lagrangian(state, shapes, params, iters=iters,
-                                theta=theta, participate=big,
-                                obj_offset=exact_obj, lam0=lam_big,
-                                patience=patience, with_clusters=False,
-                                **lag_kw)
-        return res.sel, res.feasible, res.obj, res.bound, res.lam
+        sel_b, feas_b, obj_b, lb_b, lam_out = _compact_lagrangian(
+            f, Uc, lam_c0, state.spine_leaf, big, eff_leaf, exact_obj,
+            iters=iters, theta=theta, patience=patience, **lag_kw)
+        lam_full = jnp.einsum('c,sc->s', lam_out, oc_f)
+        return sel_b, feas_b, obj_b, lb_b, lam_full
 
     def no_big(_):
         return (sel0, jnp.asarray(True), jnp.asarray(0.0, jnp.float32),
-                jnp.asarray(0.0, jnp.float32), lam_big)
+                jnp.asarray(0.0, jnp.float32),
+                jnp.zeros_like(state.lam))
 
     sel_big, feas_big, obj_big, bound_big, lam = _cond(
         jnp.any(big), run_big, no_big, None)
 
     sel = jnp.where(singleton, sel0,
                     jnp.where(small, sel_enum, sel_big))
+
+    # Overflow guard: with more than CAP contested slots the compact
+    # solver cannot see every conflict — verify the combined selection
+    # in the full slot space and retreat big-cluster targets to their
+    # (globally feasible) spines if needed.  The Lagrangian bound stays
+    # valid (dualising a subset of constraints only loosens it).
+    ok = _selection_feasible(state, shapes, sel)
+    need_fb = (n_cont > CAP) & ~ok
+    spine = jnp.clip(state.spine_leaf, 0, L - 1)
+    sel = jnp.where(need_fb & big, spine, sel)
+    obj_fb = jnp.where(big, f[tb, spine], 0.0).sum()
+    obj_big = jnp.where(need_fb, obj_fb, obj_big)
+    feas = jnp.where(need_fb, _selection_feasible(state, shapes, sel),
+                     feas_big & ok)
+
     return SelectionResult(
-        sel=sel, feasible=feas_big,
+        sel=sel, feasible=feas,
         obj=exact_obj + obj_big,
         bound=exact_obj + bound_big,
         labels=labels, n_clusters=n_clusters, lam=lam)
@@ -629,13 +828,22 @@ def _independent_best(state: TrackerState, shapes: TrackerShapes,
     f = leaf_scores(state, params)
     sel = jnp.argmin(f, axis=1)
     obj = jnp.where(state.tgt_mask, jnp.min(f, axis=1), 0.0).sum()
-
-    slots, n_slots = _slot_index(state, shapes)
-    own = slots.reshape(T, L, W * 2)[jnp.arange(T), sel]   # [T, W*2]
-    own = jnp.where(state.tgt_mask[:, None], own, n_slots)
-    cnt = jnp.zeros((n_slots + 1,), jnp.float32).at[own.reshape(-1)].add(1.0)
-    feasible = ~jnp.any(cnt[:n_slots] > 1.5)
+    feasible = _selection_feasible(state, shapes, sel)
     return sel, obj, feasible
+
+
+def _selection_feasible(state: TrackerState, shapes: TrackerShapes, sel):
+    """True iff the per-target selection ``sel`` uses every (window
+    column, measurement/AIS) slot at most once — dense, no scatters."""
+    T, L, W = state.hist_meas.shape
+    M, A = shapes.max_meas, shapes.max_ais
+    tb = jnp.arange(T)
+    act = state.tgt_mask
+    sm = jnp.where(act[:, None], state.hist_meas[tb, sel], -1)    # [T, W]
+    sa = jnp.where(act[:, None], state.hist_ais[tb, sel], 0)
+    cm = (sm[:, :, None] == jnp.arange(1, M + 1)).sum(axis=0)     # [W, M]
+    ca = (sa[:, :, None] == jnp.arange(1, A + 1)).sum(axis=0)     # [W, A]
+    return ~(jnp.any(cm > 1) | jnp.any(ca > 1))
 
 
 def select(state: TrackerState, shapes: TrackerShapes, params: TrackerParams,
