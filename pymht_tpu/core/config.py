@@ -58,6 +58,9 @@ class TrackerParams:
     # AIS association priors (tracker.py:108-109)
     P_r: float = 0.95
     P_ais: float = 0.5
+    # Per-target growth time budget driving the dynamic window
+    # (tracker.py:47-48, 918-928: maxTargetGrowTime = 200 ms)
+    max_target_time: float = 0.2
 
     @property
     def lambda_ex(self):

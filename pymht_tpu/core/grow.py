@@ -66,6 +66,9 @@ def empty_ais(shapes: TrackerShapes) -> AisBatch:
 class GrowOutputs(NamedTuple):
     state: TrackerState
     used_meas: jnp.ndarray   # [M] bool — gated by any active target
+    gated_counts: jnp.ndarray  # [T] i32 — gated (leaf, meas) pairs per
+    #   target: the per-target growth-cost proxy feeding the dynamic
+    #   window (reference per-target grow TIME, tracker.py:918-928)
 
 
 def _radar_candidates(state, scan, params, A_mat, Q_mat, C, R):
@@ -367,4 +370,6 @@ def grow(state: TrackerState,
     )
 
     used = jnp.any(gate, axis=(0, 1))                                # [M]
-    return GrowOutputs(state=new_state, used_meas=used)
+    gated_counts = jnp.sum(gate.astype(jnp.int32), axis=(1, 2))      # [T]
+    return GrowOutputs(state=new_state, used_meas=used,
+                       gated_counts=gated_counts)

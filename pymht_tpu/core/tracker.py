@@ -54,6 +54,7 @@ class StepOutputs(NamedTuple):
     sel_feasible: jnp.ndarray   # [] bool
     n_leaves: jnp.ndarray       # [] i32
     leaf_counts: jnp.ndarray    # [T] i32 — live leaves per target
+    gated_counts: jnp.ndarray   # [T] i32 — gated pairs (grow-cost proxy)
     used_meas: jnp.ndarray      # [M] bool
 
 
@@ -145,6 +146,7 @@ def scan_step(state: TrackerState,
         sel_bound=sel_res.bound, sel_feasible=sel_res.feasible,
         n_leaves=jnp.sum(state.leaf_mask.astype(jnp.int32)),
         leaf_counts=jnp.sum(state.leaf_mask.astype(jnp.int32), axis=1),
+        gated_counts=g.gated_counts,
         used_meas=g.used_meas,
     )
     return state, init_state, outputs
@@ -349,23 +351,45 @@ class Tracker:
         self.runtime_log.append(dt_wall)
         self.runtime.record('Total', dt_wall)
         if self.dynamic_window:
-            self._dynamic_window(dt_wall, out_np.leaf_counts)
+            self._dynamic_window(dt_wall, out_np.leaf_counts,
+                                 out_np.gated_counts)
         return out_np
 
-    def _dynamic_window(self, dt_wall, leaf_counts):
+    def _dynamic_window(self, dt_wall, leaf_counts, gated_counts=None):
         """Graceful degradation under load (reference __dynamicWindow,
-        tracker.py:918-950): shrink a target's window when its
-        hypothesis beam saturates, and the global window roof when the
-        whole scan exceeds 80% of the radar period."""
+        tracker.py:918-950), three triggers in escalating scope:
+
+        1. per-target TIME budget (tracker.py:918-928): the reference
+           shrinks a target's window when growing it took more than
+           maxTargetGrowTime (200 ms).  Per-target wall time does not
+           exist in a batched step, so each target's share of the scan's
+           wall time is estimated from its growth-cost proxy
+           (live leaves x gated pairs); a target whose estimated share
+           exceeds ``params.max_target_time`` shrinks individually.
+        2. beam saturation: a target whose hypothesis beam is full is
+           over budget in *capacity* — shrink it.
+        3. global roof (tracker.py:943-950): whole-scan wall time above
+           80% of the radar period lowers the roof for everyone.
+        """
         L = self.shapes.max_leaves
         tw = np.asarray(self.state.tgt_window)
+        # Ignore the first scans throughout: their wall time is
+        # dominated by XLA compilation, not steady-state load.
+        warm = len(self.scan_times) > 2
+        if gated_counts is not None and warm:
+            lc = np.asarray(leaf_counts, np.float64)
+            gc = np.asarray(gated_counts, np.float64)
+            proxy = lc * (1.0 + gc)
+            total = proxy.sum()
+            if total > 0:
+                est = dt_wall * proxy / total          # [T] seconds
+                over = est > self.params.max_target_time
+                if over.any():
+                    tw = np.where(over, np.maximum(tw - 1, 1), tw)
         saturated = np.asarray(leaf_counts) >= L
         if saturated.any():
             tw = np.where(saturated, np.maximum(tw - 1, 1), tw)
-        # Ignore the first scans: their wall time is dominated by XLA
-        # compilation, not steady-state load.
-        if dt_wall > 0.8 * self.params.radar_period \
-                and len(self.scan_times) > 2:
+        if dt_wall > 0.8 * self.params.radar_period and warm:
             self._n_roof = max(1, getattr(self, '_n_roof', self.params.N) - 1)
             tw = np.minimum(tw, self._n_roof)
         self.state = self.state.replace(tgt_window=jnp.asarray(tw))
