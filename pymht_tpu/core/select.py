@@ -227,14 +227,22 @@ def select_ipm(state: TrackerState, shapes: TrackerShapes,
 
 def _candidate_sets(state: TrackerState, f: jnp.ndarray, C: int):
     """Top-C leaves per target by score, with the feasibility spine leaf
-    forced into the set (so the all-spines combo is always available)."""
+    forced into the set (so the all-spines combo is always available).
+
+    Also returns ``excl_lb`` [T]: a lower bound on the score of every
+    leaf OUTSIDE the candidate set (= the C-th best score; +inf when the
+    target has <= C live leaves, i.e. no truncation).  Used to keep the
+    tier-2 gap certificate sound under candidate truncation."""
     T, L = f.shape
     topv, topi = jax.lax.top_k(-f, C)                      # [T,C]
     spine = jnp.clip(state.spine_leaf, 0, L - 1)
     in_set = jnp.any(topi == spine[:, None], axis=1)
     topi = topi.at[:, C - 1].set(
         jnp.where(in_set, topi[:, C - 1], spine))
-    return topi                                            # [T,C]
+    n_live = state.leaf_mask.sum(axis=1)                   # [T]
+    excl_lb = jnp.where(n_live > C, -topv[:, C - 1],
+                        jnp.asarray(jnp.inf, jnp.float32))
+    return topi, excl_lb                                   # [T,C], [T]
 
 
 def _enum_small_clusters(state: TrackerState, f: jnp.ndarray,
@@ -250,7 +258,14 @@ def _enum_small_clusters(state: TrackerState, f: jnp.ndarray,
     reference's per-cluster CBC ILP (tracker.py:979-1217) for small
     clusters, with bounded candidate sets.
 
-    Returns (sel_enum [T], obj_small [], n_buckets-independent shapes).
+    Returns (sel_enum [T], obj_small [], bound_small []).  ``obj_small``
+    is the enumerated optimum (exact on the candidate sets; an upper
+    bound on the true optimum).  ``bound_small`` is a sound lower bound
+    accounting for candidate truncation: any solution using a leaf
+    outside some member's top-C set costs at least
+    sum_t min_incl(t) + min_t (excl_lb(t) - min_incl(t)), since excluded
+    leaves all score >= the C-th best and the other members cost at
+    least their unconstrained minimum.
     """
     T, L, W2 = slots_flat.shape
     C = min(C, L)
@@ -275,7 +290,7 @@ def _enum_small_clusters(state: TrackerState, f: jnp.ndarray,
                         jnp.argmax(hit, axis=2), T)        # [B, K]
 
     # candidate tables padded with a dummy target row (cost 0, no slots)
-    cand_idx = _candidate_sets(state, f, C)                 # [T,C]
+    cand_idx, excl_lb = _candidate_sets(state, f, C)        # [T,C], [T]
     cand_f = jnp.take_along_axis(f, cand_idx, axis=1)       # [T,C]
     cand_slots = jnp.take_along_axis(
         slots_flat, cand_idx[:, :, None], axis=1)           # [T,C,W2]
@@ -322,7 +337,23 @@ def _enum_small_clusters(state: TrackerState, f: jnp.ndarray,
     # empty buckets enumerate all-dummy combos: score 0, feasible — they
     # contribute nothing to the objective.
     obj_small = jnp.where(jnp.isfinite(best_val), best_val, 0.0).sum()
-    return sel_enum, obj_small
+
+    # Truncation-aware lower bound per bucket (see docstring).  Dummy
+    # member rows contribute min_incl = 0 and excl_lb = +inf.
+    min_incl = jnp.concatenate(
+        [jnp.min(cand_f[:T], axis=1), jnp.zeros((1,), jnp.float32)], 0)
+    excl_pad = jnp.concatenate(
+        [excl_lb, jnp.full((1,), jnp.inf, jnp.float32)], 0)
+    b_min = min_incl[members]                               # [B,K]
+    b_excl = excl_pad[members]                              # [B,K]
+    indep = b_min.sum(axis=1)                               # [B]
+    swap_pen = jnp.min(b_excl - b_min, axis=1)              # [B]
+    lb_outside = jnp.where(jnp.isfinite(swap_pen),
+                           indep + swap_pen, jnp.inf)
+    lb_bucket = jnp.minimum(
+        jnp.where(jnp.isfinite(best_val), best_val, jnp.inf), lb_outside)
+    bound_small = jnp.where(jnp.isfinite(lb_bucket), lb_bucket, 0.0).sum()
+    return sel_enum, obj_small, bound_small
 
 
 # ----------------------------------------------------------------------
@@ -743,10 +774,13 @@ def select_hybrid(state: TrackerState, shapes: TrackerShapes,
     sel0 = jnp.argmin(f, axis=1)
     obj_single = jnp.where(singleton, jnp.min(f, axis=1), 0.0).sum()
 
-    # tier 2: small clusters — batched exact enumeration
-    sel_enum, obj_small = _enum_small_clusters(
+    # tier 2: small clusters — batched exact enumeration (exact on the
+    # candidate sets; bound_small keeps the certificate sound when a
+    # member's candidate set is truncated)
+    sel_enum, obj_small, bound_small = _enum_small_clusters(
         state, f, slots_flat, n_slots, labels, small, C=enum_cands)
     exact_obj = obj_single + obj_small
+    exact_bound = obj_single + bound_small
 
     # tier 3: big clusters — compact contested-slot Lagrangian.  Only
     # slots used by >=2 big-cluster targets can conflict or carry dual
@@ -767,9 +801,14 @@ def select_hybrid(state: TrackerState, shapes: TrackerShapes,
     cw = (oc_f * (s_ids // P)[:, None]).sum(axis=0).astype(jnp.int32)
     cval = (oc_f * val_of[:, None]).sum(axis=0).astype(jnp.int32)
     cais = (onehot_c & is_ais_s[:, None]).any(axis=0)      # [CAP]
-    # per-leaf contested usage (cval=0 for empty columns never matches)
+    # per-leaf contested usage.  Empty compact columns (beyond n_cont)
+    # have cval=0 and cw=0; hist_meas==0 is the zero-hypothesis (missed
+    # detection) encoding, so they MUST be masked out explicitly with
+    # cval > 0 (real columns always have val_of >= 1) — otherwise every
+    # padding column becomes a phantom "at most one big-cluster target
+    # may miss at window column 0" constraint whenever depth == W.
     wids = jnp.arange(W)[None, None, :, None]
-    m_match = (state.hist_meas[..., None] == cval) & ~cais
+    m_match = (state.hist_meas[..., None] == cval) & ~cais & (cval > 0)
     a_match = (state.hist_ais[..., None] == cval) & cais
     eff_leaf = state.leaf_mask & big[:, None]
     use_c = ((m_match | a_match) & (wids == cw)).any(axis=2)
@@ -811,7 +850,7 @@ def select_hybrid(state: TrackerState, shapes: TrackerShapes,
     return SelectionResult(
         sel=sel, feasible=feas,
         obj=exact_obj + obj_big,
-        bound=exact_obj + bound_big,
+        bound=exact_bound + bound_big,
         labels=labels, n_clusters=n_clusters, lam=lam)
 
 
