@@ -30,10 +30,26 @@ def _run_parity(targets_xy, scans, period, params, shapes, t0):
         ref = oracle.step(t, z)
         W = shapes.window
         dev_labels = [int(out.sel_hist_meas[k, W - 1]) for k in range(K)]
+        dev_hist = [[(int(out.sel_hist_meas[k, w]),
+                      int(out.sel_hist_mmsi[k, w]))
+                     for w in range(W) if out.sel_hist_valid[k, w]]
+                    for k in range(K)]
         dev_obj = float(sum(out.track_cnllr[k] for k in range(K)))
         ref_labels = [m for m, _x, _c in ref]
         ref_obj = oracle.objective()
-        out_rows.append((dev_labels, ref_labels, dev_obj, ref_obj))
+        # Tie verification must happen NOW (the oracle trees mutate next
+        # scan): cost of the device's labels inside the oracle's trees.
+        if dev_labels != ref_labels:
+            tie_total = 0.0
+            for k in range(K):
+                c = oracle.leaf_cost_by_history(k, dev_hist[k])
+                tie_total = (tie_total + c) if c is not None else None
+                if tie_total is None:
+                    break
+        else:
+            tie_total = ref_obj
+        out_rows.append((dev_labels, ref_labels, dev_obj, ref_obj,
+                         tie_total))
     return out_rows
 
 
@@ -65,7 +81,7 @@ def test_parity_crossing_targets():
                            score_upper_limit_scale=1e6)
     x0, scans = _crossing_scenario(period=period)
     rows = _run_parity(x0, scans, period, params, shapes, t0=0.0)
-    for i, (dev, ref, dev_obj, ref_obj) in enumerate(rows):
+    for i, (dev, ref, dev_obj, ref_obj, _tie) in enumerate(rows):
         # objective parity within fp32 drift + solver gap
         assert dev_obj <= ref_obj + max(1e-3, 1e-3 * abs(ref_obj)), \
             f"scan {i}: device obj {dev_obj} worse than oracle {ref_obj}"
@@ -104,13 +120,17 @@ def test_parity_cluttered_scenario():
     scans = [(s.time - t0, s.measurements) for s in raw[:8]]
 
     rows = _run_parity(x0, scans, period, params, shapes, t0=0.0)
-    n_label_match = 0
-    n_labels = 0
-    for i, (dev, ref, dev_obj, ref_obj) in enumerate(rows):
-        assert dev_obj <= ref_obj + max(5e-3, 1e-3 * abs(ref_obj)), \
+    for i, (dev, ref, dev_obj, ref_obj, tie_total) in enumerate(rows):
+        tol = max(5e-3, 1e-3 * abs(ref_obj))
+        assert dev_obj <= ref_obj + tol, \
             f"scan {i}: device obj {dev_obj} vs oracle {ref_obj}"
-        n_labels += len(ref)
-        n_label_match += sum(d == r for d, r in zip(dev, ref))
-    # associations overwhelmingly identical (ties may differ)
-    assert n_label_match >= 0.9 * n_labels, \
-        f"only {n_label_match}/{n_labels} associations match"
+        if dev == ref:
+            continue
+        # Every label mismatch must be a PROVEN tie: the device's
+        # selection evaluated in the oracle's fp64 trees must reach the
+        # oracle's optimum (round-2 verdict: tie-verify, don't waive).
+        assert tie_total is not None, \
+            f"scan {i}: device labels {dev} not found in oracle trees"
+        assert tie_total <= ref_obj + tol, \
+            (f"scan {i}: device labels {dev} cost {tie_total} vs oracle "
+             f"optimum {ref_obj} — real divergence")
