@@ -47,6 +47,14 @@ class StepOutputs(NamedTuple):
     confirmed_x: jnp.ndarray    # [T, W, 4]
     confirmed_meas: jnp.ndarray  # [T, W]
     confirmed_mmsi: jnp.ndarray  # [T, W]
+    # Newly inserted (confirmed) targets this scan: slot mask + the
+    # initial covariance of their root leaf (the initiator's two-point
+    # covariance — needed so serialized S_inv sequences start from the
+    # track's true P, not pv.P0; reference stores per-node S_inv,
+    # pyTarget.py:782-784).
+    inserted_mask: jnp.ndarray  # [T] bool
+    inserted_id: jnp.ndarray    # [T] i32 (post-insert tgt_id)
+    inserted_P: jnp.ndarray     # [T, 4, 4]
     # Diagnostics
     n_clusters: jnp.ndarray     # [] i32
     sel_obj: jnp.ndarray        # [] f32
@@ -131,8 +139,10 @@ def scan_step(state: TrackerState,
     d = jnp.linalg.norm(new_x[:, None, :2] - leaf_pos[None, :, :], axis=2)
     near = (d < params.merge_threshold) & leaf_ok[None, :]
     new_mask = new_mask & ~near.any(axis=1)
+    prev_mask = state.tgt_mask
     state = insert_targets(state, new_x, init_out.new_P, new_mask,
                            new_mmsi, scan.time, params)
+    inserted = state.tgt_mask & ~prev_mask
 
     outputs = StepOutputs(
         track_mask=track_mask, track_id=track_id, track_x=track_x,  # noqa: E126
@@ -142,6 +152,8 @@ def scan_step(state: TrackerState,
         dead=term.dead, dead_reason=term.reason,
         confirmed_mask=pr.confirmed_mask, confirmed_x=pr.confirmed_x,
         confirmed_meas=pr.confirmed_meas, confirmed_mmsi=pr.confirmed_mmsi,
+        inserted_mask=inserted, inserted_id=state.tgt_id,
+        inserted_P=state.leaf_P[:, 0],
         n_clusters=sel_res.n_clusters, sel_obj=sel_res.obj,
         sel_bound=sel_res.bound, sel_feasible=sel_res.feasible,
         n_leaves=jnp.sum(state.leaf_mask.astype(jnp.int32)),
@@ -239,6 +251,7 @@ class Tracker:
         self.init_state = initiator_mod.empty_initiator(shapes)
         self.archives = {}          # id -> TrackArchive
         self.terminated = {}        # id -> TrackArchive
+        self.init_P = {}            # id -> initial covariance [4,4]
         self.scan_times = []
         self.scan_history = []      # raw numpy measurements per scan
         from ..utils.timing import RuntimeLog
@@ -470,6 +483,14 @@ class Tracker:
         n = n_scans if n_scans is not None else len(self.scan_times)
         col_time = lambda w: self.scan_times[n - 1 - (W - 1 - w)] \
             if 0 <= n - 1 - (W - 1 - w) < n else None
+
+        # Record the true initial covariance of tracks confirmed this
+        # scan (two-point initiator covariance) for S_inv serialization.
+        ins_mask = getattr(out, 'inserted_mask', None)
+        if ins_mask is not None:
+            for slot in np.nonzero(ins_mask)[0]:
+                self.init_P[int(out.inserted_id[slot])] = \
+                    np.asarray(out.inserted_P[slot], np.float64)
 
         reasons = {1: 'OutOfRange', 2: 'TooLowScore', 3: 'TooLowScore'}
         for slot in np.nonzero(mask)[0]:

@@ -35,6 +35,7 @@ def sharded_scan_step(state, init_state, scan: Scan, ais,
                       shapes: TrackerShapes, params: TrackerParams,
                       axis_name: str = 'cluster',
                       use_ais: bool = False,
+                      ais_initialization: bool = True,
                       select_kw=None):
     """One scan; runs INSIDE shard_map.  ``state`` holds this shard's
     target slots; ``init_state``/``scan``/``ais`` are replicated."""
@@ -65,10 +66,21 @@ def sharded_scan_step(state, init_state, scan: Scan, ais,
     pr = n_scan_prune(state, shapes, params)
     state = pr.state
 
-    # 8. initiate: replicated compute, round-robin insertion.
+    # 8. initiate: replicated compute, round-robin insertion.  AIS-aided
+    # initiation mirrors core/tracker.py: messages whose MMSI was
+    # associated by any surviving leaf — on ANY shard (psum-OR) — are
+    # not available for seeding (reference tracker.py:267-270).
     unused_z = scan.mask & ~used_meas
+    if use_ais and ais_initialization:
+        cur_mmsi = jnp.where(state.leaf_mask, state.hist_mmsi[:, :, -1], 0)
+        used_local = jnp.isin(ais.mmsi, cur_mmsi.reshape(-1))
+        used_mmsi_ais = jax.lax.psum(used_local.astype(jnp.int32),
+                                     axis_name) > 0
+        ais_for_init = ais._replace(mask=ais.mask & ~used_mmsi_ais)
+    else:
+        ais_for_init = empty_ais(shapes)
     init_out = initiator_mod.step(init_state, scan.z, unused_z, scan.time,
-                                  empty_ais(shapes), shapes, params)
+                                  ais_for_init, shapes, params)
     init_state = init_out.state
     new_x, new_mask, new_mmsi = _merge_new_targets(
         init_out.new_x, init_out.new_mask, init_out.new_mmsi,
@@ -102,7 +114,9 @@ def sharded_scan_step(state, init_state, scan: Scan, ais,
 def make_sharded_tracker_step(mesh: Mesh, shapes: TrackerShapes,
                               params: TrackerParams,
                               axis_name: str = 'cluster',
-                              use_ais: bool = False, select_kw=None):
+                              use_ais: bool = False,
+                              ais_initialization: bool = True,
+                              select_kw=None):
     """jitted shard_map wrapper over one full tracker scan.
 
     ``shapes`` describes the GLOBAL state (as built by ``empty_state``);
@@ -125,7 +139,9 @@ def make_sharded_tracker_step(mesh: Mesh, shapes: TrackerShapes,
     def fn(state, init_state, scan, ais):
         return sharded_scan_step(state, init_state, scan, ais,
                                  shapes, params, axis_name,
-                                 use_ais=use_ais, select_kw=select_kw)
+                                 use_ais=use_ais,
+                                 ais_initialization=ais_initialization,
+                                 select_kw=select_kw)
 
     def run(state, init_state, scan, ais):
         sspec = jax.tree_util.tree_map(_state_spec, state)

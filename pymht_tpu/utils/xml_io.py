@@ -121,15 +121,18 @@ def store_tracker_settings(parent, shapes, params, **extra):
     return e
 
 
-def _sinv_sequence(times, labels, params):
+def _sinv_sequence(times, labels, params, P0=None):
     """Innovation-covariance inverses along a track, recomputed from the
     covariance recursion (the reference stores each node's S_inv,
     pyTarget.py:782-784; the recursion needs no measurements — P evolves
-    deterministically given the detection pattern)."""
+    deterministically given the detection pattern).  ``P0`` seeds the
+    recursion with the track's TRUE initial covariance (the two-point
+    initiator covariance for confirmed tracks, recorded in
+    Tracker.init_P); pv.P0 is only the pre-initialized-track default."""
     from ..models import pv
     C = np.asarray(pv.C_RADAR, np.float64)
     R = np.asarray(pv.R_RADAR(), np.float64)
-    P = np.asarray(pv.P0, np.float64)
+    P = np.asarray(pv.P0 if P0 is None else P0, np.float64)
     out = []
     prev_t = None
     for t, lab in zip(times, labels):
@@ -186,7 +189,8 @@ def store_run(parent, tracker, smooth=True, sparse=False,
             for i in idxs:
                 _state_element(raw, times[i], states[i], statuses.get(tid))
             continue
-        sinvs = _sinv_sequence(times, labels, tracker.params) \
+        sinvs = _sinv_sequence(times, labels, tracker.params,
+                               P0=getattr(tracker, 'init_P', {}).get(tid)) \
             if include_sinv else [None] * len(times)
         for t, x, si in zip(times, states, sinvs):
             e = _state_element(raw, t, x, statuses.get(tid))

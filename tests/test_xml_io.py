@@ -63,3 +63,41 @@ def test_smooth_tracks_output_shapes(tmp_path):
     for tid, (pos, vel, ok) in sm.items():
         assert pos.shape[1] == 2
         assert vel.shape == pos.shape
+
+
+def test_sinv_seeded_from_initiator_covariance():
+    """Confirmed (non-preinitialized) tracks must seed the serialized
+    S_inv recursion from the initiator's two-point covariance, not
+    pv.P0 (advisor round-2 finding on _sinv_sequence)."""
+    import numpy as np
+    from pymht_tpu.core.config import TrackerShapes, TrackerParams
+    from pymht_tpu.core.tracker import Tracker
+    from pymht_tpu.models import pv
+
+    shapes = TrackerShapes(max_targets=4, max_leaves=16, max_meas=8,
+                           max_ais=2, window=7, max_prelim=4,
+                           max_initiators=8)
+    params = TrackerParams(radar_period=1.0, P_d=0.9, lambda_phi=1e-6,
+                           lambda_nu=1e-6, radar_range=1e4,
+                           cnllr_upper_limit=1e9,
+                           score_upper_limit_scale=1e6)
+    tracker = Tracker(shapes, params, method='lagrangian', use_ais=False)
+    rng = np.random.default_rng(2)
+    x = np.array([0.0, 0.0, 4.0, 1.0])
+    for i in range(5):
+        t = (i + 1) * 1.0
+        z = np.array([x[:2] + x[2:] * t + rng.normal(0, 0.5, 2)],
+                     np.float32)
+        tracker.add_measurement_list(t, z)
+    assert tracker.init_P, "no track confirmed"
+    tid, P0_rec = next(iter(tracker.init_P.items()))
+    # the recorded covariance is the initiator's confirmed covariance —
+    # it must differ from the preinitialization default pv.P0
+    assert not np.allclose(P0_rec, np.asarray(pv.P0), atol=1e-6)
+    # and the serialized S_inv changes accordingly
+    from pymht_tpu.utils.xml_io import _sinv_sequence
+    times = [3.0, 4.0, 5.0]
+    labels = [1, 1, 1]
+    s_default = _sinv_sequence(times, labels, params)
+    s_seeded = _sinv_sequence(times, labels, params, P0=P0_rec)
+    assert not np.allclose(s_default[0], s_seeded[0], atol=1e-6)
