@@ -133,12 +133,86 @@ def main():
         reps.append(time.time() - t0)
     stream_ms = float(np.median(reps) / N_SCANS * 1000.0)
 
+    # ---- path C: AIS fusion enabled (verdict round-2 item 2) --------
+    # Same 100-target scenario but every target carries a transponder;
+    # realistic class-A report intervals give ~8-32 messages per scan.
+    # Stage-2 fusion runs on the compressed per-leaf AIS axis (G=2).
+    import dataclasses
+    from pymht_tpu.core.grow import AisBatch
+    A_CAP = int(os.environ.get("BENCH_AIS", "32"))
+    shapes_a = dataclasses.replace(shapes, max_ais=A_CAP, ais_per_leaf=2)
+    rng_a = np.random.default_rng(4321)
+    targets_a = sim.generate_initial_targets(
+        rng_a, N_TARGETS, (0.0, 0.0), radar_range, 0.9, 0.1,
+        assign_mmsi=True, P_r=0.9)
+    sim_list_a = sim.simulate_targets(rng_a, targets_a,
+                                      sim_time=N_SCANS * period, dt=period)
+    scans_a = sim.simulate_scans(rng_a, sim_list_a, period, sigma_R=2.5,
+                                 lambda_phi=2e-5, radar_range=radar_range,
+                                 p0=(0.0, 0.0), lambda_local=0.5)
+    ais_groups = sim.simulate_ais(rng_a, sim_list_a, period,
+                                  init_time=sim_list_a[0][0].time)
+    t0_base_a = scans_a[0].time - period
+    za = np.zeros((N_SCANS, M, 2), np.float32)
+    ma = np.zeros((N_SCANS, M), bool)
+    ta = np.zeros((N_SCANS,), np.float32)
+    ais_st = np.zeros((N_SCANS, A_CAP, 4), np.float32)
+    ais_tm = np.zeros((N_SCANS, A_CAP), np.float32)
+    ais_mm = np.zeros((N_SCANS, A_CAP), np.int32)
+    ais_hi = np.zeros((N_SCANS, A_CAP), bool)
+    ais_mk = np.zeros((N_SCANS, A_CAP), bool)
+    n_msgs = []
+    for i, s in enumerate(scans_a[:N_SCANS]):
+        n = min(len(s.measurements), M)
+        za[i, :n] = s.measurements[:n]
+        ma[i, :n] = True
+        ta[i] = s.time - t0_base_a
+        group = ais_groups[i] if i < len(ais_groups) else []
+        n_msgs.append(len(group))
+        for j, msg in enumerate(group[:A_CAP]):
+            ais_st[i, j] = msg.state
+            ais_tm[i, j] = msg.time - t0_base_a
+            ais_mm[i, j] = msg.mmsi
+            ais_hi[i, j] = msg.highAccuracy
+            ais_mk[i, j] = True
+    scans_dev_a = Scan(z=jnp.asarray(za), mask=jnp.asarray(ma),
+                       time=jnp.asarray(ta))
+    ais_dev_a = AisBatch(state=jnp.asarray(ais_st),
+                         time=jnp.asarray(ais_tm),
+                         mmsi=jnp.asarray(ais_mm),
+                         high_accuracy=jnp.asarray(ais_hi),
+                         mask=jnp.asarray(ais_mk))
+
+    def seed_states_a():
+        F_inv = np.eye(4)
+        F_inv[0, 2] = F_inv[1, 3] = -period
+        return [F_inv @ t.state for t in targets_a]
+
+    tracker3 = Tracker(shapes_a, params, method=METHOD, use_ais=True)
+    tracker3.pre_initialize(scans_a[0].time - period, seed_states_a(),
+                            mmsi=[t.mmsi for t in targets_a])
+    run_a = jax.jit(lambda st, ist, sc, a: scan_many(
+        st, ist, sc, a, shapes_a, params, method=METHOD, use_ais=True))
+    out_a = run_a(tracker3.state, tracker3.init_state, scans_dev_a,
+                  ais_dev_a)
+    jax.block_until_ready(out_a)
+    reps_a = []
+    for _ in range(3):
+        t0 = time.time()
+        out_a = run_a(tracker3.state, tracker3.init_state, scans_dev_a,
+                      ais_dev_a)
+        jax.block_until_ready(out_a)
+        reps_a.append(time.time() - t0)
+    ais_ms = float(np.median(reps_a) / N_SCANS * 1000.0)
+
     print(json.dumps({
         "metric": "ms_per_scan_100tgt_highclutter",
         "value": round(stream_ms, 3),
         "unit": "ms",
         "vs_baseline": round(10.0 / stream_ms, 4),
         "dispatch_ms_per_scan": round(dispatch_ms, 3),
+        "ais_ms_per_scan": round(ais_ms, 3),
+        "ais_msgs_per_scan": round(float(np.mean(n_msgs)), 1),
         "median_dual_gap": round(gap, 6),
         "opt_gap_vs_exact_oracle": (round(oracle_gap, 6)
                                     if oracle_gap is not None else None),

@@ -27,10 +27,24 @@ class TrackerShapes:
     # m/n initiator capacities
     max_prelim: int = 32         # P: preliminary tracks
     max_initiators: int = 64     # I: one-point initiators
+    # G: AIS fusion candidates kept per leaf after the stage-1 AIS gate
+    # (0 = exhaustive, i.e. G = max_ais).  The stage-1 gate + MMSI
+    # consistency typically admit <= 1-2 messages per leaf, so a small G
+    # shrinks the stage-2 fusion tensors from [T,L,A,M,...] to
+    # [T,L,G,M,...] without changing decisions in practice (reference
+    # fuses every stage-1-gated message, tracker.py:417-552; G < A is a
+    # score beam on that set).
+    ais_per_leaf: int = 0
 
     def __post_init__(self):
         assert self.window >= 2
         assert self.max_leaves >= 2
+        assert 0 <= self.ais_per_leaf <= self.max_ais
+
+    @property
+    def ais_fuse_width(self):
+        """Effective G: compressed AIS axis width in grow."""
+        return self.ais_per_leaf or self.max_ais
 
 
 @dataclass(frozen=True)

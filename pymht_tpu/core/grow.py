@@ -9,12 +9,15 @@ per target (a score-based beam — the principled version of the
 reference's ad-hoc node caps at tracker.py:118,918-950; with generous
 ``L`` it is exhaustive and exactly matches the reference tree).
 
-Candidate layout per leaf (C = 1 + M + A*(1 + M) slots):
+Candidate layout per leaf (C = 1 + M + G*(1 + M) slots, where G =
+shapes.ais_fuse_width is the compressed per-leaf AIS axis — the best G
+stage-1-gated messages per leaf; g maps back to a real message index via
+the ais_idx table):
 
 * slot 0                     : zero-hypothesis (missed detection)
 * slot 1 + m                 : radar measurement m
-* slot 1 + M + a*(1+M)       : pure-AIS association with AIS message a
-* slot 1 + M + a*(1+M) + 1+m : AIS message a fused with radar meas m
+* slot 1 + M + g*(1+M)       : pure-AIS association with compressed slot g
+* slot 1 + M + g*(1+M) + 1+m : compressed AIS slot g fused with radar meas m
 
 AIS fusion follows tracker.py:417-552: two-stage Kalman update (AIS at
 its own timestamp, then radar at scan time), score 0.5*nllr_ais +
@@ -88,21 +91,33 @@ def _radar_candidates(state, scan, params, A_mat, Q_mat, C, R):
     return x_bar, P_bar, z_hat, S, K, P_hat, zt, nis, gate, nllr_m
 
 
-def _ais_candidates(state, scan, ais, params):
+def _ais_candidates(state, scan, ais, params, G=None):
     """Two-stage AIS+radar fusion candidates (tracker.py:417-552).
 
-    Returns for every (target, leaf, ais, radar-slot) candidate the score
-    increment, gating mask, and fused state/covariance ingredients.
-    Slot m in [0, M): fused with radar meas m.  A separate pure-AIS
-    output covers AIS-gated messages with no gated radar measurement.
+    Stage 1 gates each (leaf, message) pair at the message timestamp
+    (full-state AIS observation, C_ais = I) and applies MMSI
+    consistency; the surviving messages are then COMPRESSED to the best
+    ``G`` per leaf by stage-1 NIS (shapes.ais_per_leaf) before the
+    expensive stage-2 radar fusion — the stage-1 gate typically admits
+    <= 1-2 messages per leaf, so this shrinks every stage-2 tensor from
+    [T,L,A,M,...] to [T,L,G,M,...].
+
+    Returns per (target, leaf, g, radar-slot) candidate scores and
+    gates, plus the stage-2 ingredients (x_bar2/z_hat2/K2/P_hat2 on the
+    compressed axis) from which grow() recomputes the few SELECTED fused
+    states after beam selection — the [T,L,A,M,4] fused-state tensor is
+    never materialised.  ``ais_idx`` maps compressed slot g back to the
+    message index.
     """
     T, L = state.leaf_mask.shape
     A = ais.mask.shape[0]
     M = scan.z.shape[0]
+    G = A if G is None else min(max(G, 1), A)
 
     # Stage 1: predict each leaf to each AIS timestamp and update with the
     # full-state AIS observation (C_ais = I).  einsum letters: t=target,
-    # q=leaf, a=ais message, m=radar measurement, ijkl=matrix dims.
+    # q=leaf, a=ais message (g after compression), m=radar measurement,
+    # ijkl=matrix dims.
     dT1 = ais.time - state.time                                  # [A]
     Phi1 = pv.Phi(dT1)                                           # [A,4,4]
     Q1 = pv.Q(dT1)                                               # [A,4,4]
@@ -117,6 +132,15 @@ def _ais_candidates(state, scan, ais, params):
     gate1 = ((nis1 <= params.eta2_ais)
              & ais.mask[None, None, :]
              & state.leaf_mask[:, :, None])                      # [T,L,A]
+
+    # MMSI consistency (pyTarget.py:269-272): a leaf may only take an AIS
+    # message whose MMSI matches the track's historical MMSI (if any).
+    hist_mmsi_leaf = jnp.max(state.hist_mmsi, axis=2)            # [T,L]
+    hist_mmsi_leaf = jnp.maximum(hist_mmsi_leaf, state.tgt_mmsi[:, None])
+    mmsi_ok = ((hist_mmsi_leaf[:, :, None] == 0)
+               | (hist_mmsi_leaf[:, :, None] == ais.mmsi[None, None, :]))
+    gate1 = gate1 & mmsi_ok
+
     K1 = jnp.einsum('tqaij,tqajk->tqaik', P_bar1, S1_inv)
     x_hat1 = x_bar1 + jnp.einsum('tqaij,tqaj->tqai', K1, zt1)
     P_hat1 = P_bar1 - jnp.einsum('tqaij,tqajk->tqaik', K1, P_bar1)
@@ -126,52 +150,53 @@ def _ais_candidates(state, scan, ais, params):
     lambda_ais = (n_targets * params.P_ais) / (jnp.pi * radar_range ** 2)
     nllr1 = k.nllr(lambda_ais, 1.0, S1, nis1[..., None])[..., 0]  # [T,L,A]
 
-    # Stage 2: predict the AIS-updated state to scan time, gate + update
+    # Compress the message axis: keep the G best stage-1-gated messages
+    # per leaf (all of them when G == A; identity up to ordering).
+    key = jnp.where(gate1, nis1, jnp.inf)                        # [T,L,A]
+    _, ais_idx = jax.lax.top_k(-key, G)                          # [T,L,G]
+    tb = jnp.arange(T)[:, None, None]
+    lb = jnp.arange(L)[None, :, None]
+    g_ok = jnp.take_along_axis(gate1, ais_idx, axis=2)           # [T,L,G]
+    x_hat1g = x_hat1[tb, lb, ais_idx]                            # [T,L,G,4]
+    P_hat1g = P_hat1[tb, lb, ais_idx]                            # [T,L,G,4,4]
+    nllr1g = jnp.take_along_axis(nllr1, ais_idx, axis=2)         # [T,L,G]
+
+    # Stage 2: predict the AIS-updated state to scan time, gate + score
     # against the radar measurements.
     dT2 = scan.time - ais.time                                   # [A]
-    Phi2 = pv.Phi(dT2)
-    Q2 = pv.Q(dT2)
-    x_bar2 = jnp.einsum('aij,tqaj->tqai', Phi2, x_hat1)          # [T,L,A,4]
-    P_bar2 = jnp.einsum('aij,tqajk,alk->tqail', Phi2, P_hat1, Phi2) + Q2
+    Phi2_a = pv.Phi(dT2)                                         # [A,4,4]
+    Q2_a = pv.Q(dT2)
+    Phi2 = Phi2_a[ais_idx]                                       # [T,L,G,4,4]
+    Q2 = Q2_a[ais_idx]
+    x_bar2 = jnp.einsum('tqgij,tqgj->tqgi', Phi2, x_hat1g)       # [T,L,G,4]
+    P_bar2 = jnp.einsum('tqgij,tqgjk,tqglk->tqgil',
+                        Phi2, P_hat1g, Phi2) + Q2
     C = pv.C_RADAR
     R2 = pv.R_RADAR()
-    z_hat2 = jnp.einsum('ij,tqaj->tqai', C, x_bar2)              # [T,L,A,2]
-    PCt = jnp.einsum('tqaij,kj->tqaik', P_bar2, C)
-    S2 = jnp.einsum('ij,tqajk->tqaik', C, PCt) + R2              # [T,L,A,2,2]
+    z_hat2 = jnp.einsum('ij,tqgj->tqgi', C, x_bar2)              # [T,L,G,2]
+    PCt = jnp.einsum('tqgij,kj->tqgik', P_bar2, C)
+    S2 = jnp.einsum('ij,tqgjk->tqgik', C, PCt) + R2              # [T,L,G,2,2]
     S2_inv = k.inv_psd(S2)
-    K2 = PCt @ S2_inv                                            # [T,L,A,4,2]
-    P_hat2 = P_bar2 - jnp.einsum('tqaij,jk,tqakl->tqail', K2, C, P_bar2)
-    zt2 = scan.z[None, None, None, :, :] - z_hat2[..., None, :]  # [T,L,A,M,2]
-    nis2 = jnp.einsum('tqami,tqaij,tqamj->tqam', zt2, S2_inv, zt2)
+    K2 = PCt @ S2_inv                                            # [T,L,G,4,2]
+    P_hat2 = P_bar2 - jnp.einsum('tqgij,jk,tqgkl->tqgil', K2, C, P_bar2)
+    zt2 = scan.z[None, None, None, :, :] - z_hat2[..., None, :]  # [T,L,G,M,2]
+    nis2 = jnp.einsum('tqgmi,tqgij,tqgmj->tqgm', zt2, S2_inv, zt2)
     gate2 = ((nis2 <= params.eta2)
              & scan.mask[None, None, None, :]
-             & gate1[..., None])                                 # [T,L,A,M]
+             & g_ok[..., None])                                  # [T,L,G,M]
     nllr2 = k.nllr(params.lambda_ex, state.tgt_pd[:, None, None], S2, nis2)
-
-    # MMSI consistency (pyTarget.py:269-272): a leaf may only take an AIS
-    # message whose MMSI matches the track's historical MMSI (if any).
-    hist_mmsi_leaf = jnp.max(state.hist_mmsi, axis=2)            # [T,L]
-    hist_mmsi_leaf = jnp.maximum(hist_mmsi_leaf, state.tgt_mmsi[:, None])
-    mmsi_ok = ((hist_mmsi_leaf[:, :, None] == 0)
-               | (hist_mmsi_leaf[:, :, None] == ais.mmsi[None, None, :]))
-    gate1 = gate1 & mmsi_ok
-    gate2 = gate2 & mmsi_ok[..., None]
 
     # Fused candidates: score = cnllr + 0.5*nllr1 + 0.5*nllr2
     # (tracker.py:502).  Pure-AIS candidate (no gated radar,
-    # tracker.py:513-525): score = cnllr + nllr1.
-    fused_score = 0.5 * nllr1[..., None] + 0.5 * nllr2           # [T,L,A,M]
-    no_radar = ~jnp.any(gate2, axis=-1)                          # [T,L,A]
-    pure_gate = gate1 & no_radar
-    # Pure-AIS state: x_bar2 (prediction of AIS-updated state to scan
-    # time), covariance P_hat2 of the radar update NOT applied -> P_bar2
-    # per tracker.py:514-515 uses P_hat_list2[0]... the reference takes
-    # the *updated* covariance there; we follow it (P_hat2 slot 0 is not
-    # measurement-dependent anyway since P_hat2 is independent of z).
-    x_fused = (x_bar2[..., None, :]
-               + jnp.einsum('tqaij,tqamj->tqami', K2, zt2))      # [T,L,A,M,4]
-    return (gate1, gate2, pure_gate, nllr1, fused_score,
-            x_fused, x_bar2, P_hat2)
+    # tracker.py:513-525): score = cnllr + nllr1; its state is x_bar2
+    # (prediction of the AIS-updated state to scan time) and its
+    # covariance the radar-UPDATED P_hat2 — the reference takes
+    # P_hat_list2[0] there, and P_hat2 is measurement-independent.
+    fused_score = 0.5 * nllr1g[..., None] + 0.5 * nllr2          # [T,L,G,M]
+    no_radar = ~jnp.any(gate2, axis=-1)                          # [T,L,G]
+    pure_gate = g_ok & no_radar
+    return (g_ok, gate2, pure_gate, nllr1g, fused_score,
+            x_bar2, z_hat2, K2, P_hat2, ais_idx)
 
 
 def grow(state: TrackerState,
@@ -235,18 +260,19 @@ def grow(state: TrackerState,
 
     use_ais = ais is not None
     if use_ais:
-        (gate1, gate2, pure_gate, nllr1, fused_score,
-         x_fused, x_pure, P_ais_hat) = _ais_candidates(state, scan, ais, params)
-        A = shapes.max_ais
+        G = min(shapes.ais_fuse_width, shapes.max_ais)
+        (g_ok, gate2, pure_gate, nllr1g, fused_score,
+         x_bar2, z_hat2, K2g, P_ais_hat, ais_idx) = _ais_candidates(
+            state, scan, ais, params, G=G)
         pure_score = jnp.where(pure_gate,
-                               state.leaf_cnllr[:, :, None] + nllr1, BIG)  # [T,L,A]
+                               state.leaf_cnllr[:, :, None] + nllr1g, BIG)  # [T,L,G]
         fused = jnp.where(gate2,
                           state.leaf_cnllr[:, :, None, None] + fused_score,
-                          BIG)                                       # [T,L,A,M]
+                          BIG)                                       # [T,L,G,M]
         ais_block = jnp.concatenate(
-            [pure_score[..., None], fused], axis=3)                  # [T,L,A,1+M]
+            [pure_score[..., None], fused], axis=3)                  # [T,L,G,1+M]
         cand_scores = jnp.concatenate(
-            [cand_scores, ais_block.reshape(T, L, A * (1 + M))], axis=2)
+            [cand_scores, ais_block.reshape(T, L, G * (1 + M))], axis=2)
 
     Cn = cand_scores.shape[2]                                        # candidates/leaf
     flat_scores = cand_scores.reshape(T, L * Cn)
@@ -285,10 +311,9 @@ def grow(state: TrackerState,
     is_zero = slot == 0
     radar_m = jnp.clip(slot - 1, 0, M - 1)                           # [T,L]
     if use_ais:
-        A = shapes.max_ais
-        ais_slot = jnp.clip(slot - (1 + M), 0, A * (1 + M) - 1)
+        ais_slot = jnp.clip(slot - (1 + M), 0, G * (1 + M) - 1)
         is_ais = slot >= (1 + M)
-        ais_a = ais_slot // (1 + M)                                  # [T,L]
+        ais_g = ais_slot // (1 + M)                                  # [T,L]
         ais_sub = ais_slot % (1 + M)                                 # 0=pure, 1+m fused
         is_pure_ais = is_ais & (ais_sub == 0)
         ais_m = jnp.clip(ais_sub - 1, 0, M - 1)
@@ -311,9 +336,16 @@ def grow(state: TrackerState,
     new_mmsi_label = jnp.zeros((T, L), jnp.int32)
 
     if use_ais:
-        x_f = x_fused[tb, parent, ais_a, ais_m]                      # [T,L,4]
-        x_p = x_pure[tb, parent, ais_a]
-        P_f = P_ais_hat[tb, parent, ais_a]
+        # Recompute the selected fused states from the compressed
+        # stage-2 ingredients — only [T,L] gathers, never the full
+        # [T,L,G,M,4] fused-state tensor.
+        x_p = x_bar2[tb, parent, ais_g]                              # [T,L,4]
+        K_f = K2g[tb, parent, ais_g]                                 # [T,L,4,2]
+        zt_f = scan.z[ais_m] - z_hat2[tb, parent, ais_g]             # [T,L,2]
+        x_f = x_p + jnp.einsum('tlij,tlj->tli', K_f, zt_f)
+        P_f = P_ais_hat[tb, parent, ais_g]
+        # Map the compressed slot back to the real AIS message index.
+        ais_a = ais_idx[tb, parent, ais_g]                           # [T,L]
         new_x = jnp.where(is_ais[..., None],
                           jnp.where(is_pure_ais[..., None], x_p, x_f), new_x)
         new_P = jnp.where(is_ais[..., None, None], P_f, new_P)

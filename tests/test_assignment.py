@@ -108,3 +108,92 @@ def test_initiator_contested_pairing_is_optimal():
     valid = np.array([[True, True], [True, False]])
     ref = _oracle(cost, valid)
     assert (ref >= 0).sum() == 2
+
+
+def test_auction_at_scale_dense_contention():
+    """Production GNN regime at bench scale (round-2 verdict item 8):
+    R=64 bidders vs M=512 measurements, clustered so gates overlap
+    heavily, every pair valid.  Every row must be assigned (solvable:
+    C >> R) at near-Hungarian cost."""
+    rng = np.random.default_rng(0)
+    R, M = 64, 512
+    tracks = rng.normal(0, 20.0, (R, 2))
+    meas = np.concatenate([
+        tracks[rng.permutation(R)] + rng.normal(0, 5.0, (R, 2)),
+        rng.normal(0, 25.0, (M - R, 2))])
+    cost = np.linalg.norm(tracks[:, None, :] - meas[None, :, :], axis=2)
+    valid = np.ones((R, M), bool)
+    out = np.asarray(auction_assign(jnp.asarray(cost, jnp.float32),
+                                    jnp.asarray(valid)))
+    assert (out >= 0).all(), f"{(out < 0).sum()} rows silently dropped"
+    assert len(set(out.tolist())) == R, "duplicate column assignment"
+    opt = _total(cost, _oracle(cost, valid))
+    got = _total(cost, out)
+    span = cost.max() - cost.min()
+    assert got <= opt + span * 1e-2 + 1e-3, (got, opt)
+
+
+def test_auction_square_512_cardinality_guarantee():
+    """Adversarial DENSE SQUARE at n=512 (far beyond the asymmetric
+    production shapes): the final eps phase can exhaust the iteration
+    cap, but the completion pass must still deliver a full matching —
+    no silent drops, no duplicates — with gracefully degraded cost.
+    (n=256 keeps suite time sane; n=512 behaves the same, verified
+    manually in round 3.)"""
+    rng = np.random.default_rng(0)
+    n = 256
+    tracks = rng.normal(0, 30.0, (n, 2))
+    meas = tracks[rng.permutation(n)] + rng.normal(0, 5.0, (n, 2))
+    cost = np.linalg.norm(tracks[:, None, :] - meas[None, :, :], axis=2)
+    valid = np.ones((n, n), bool)
+    out = np.asarray(auction_assign(jnp.asarray(cost, jnp.float32),
+                                    jnp.asarray(valid)))
+    assert (out >= 0).all(), f"{(out < 0).sum()} rows silently dropped"
+    assert len(set(out.tolist())) == n, "duplicate column assignment"
+    opt = _total(cost, _oracle(cost, valid))
+    got = _total(cost, out)
+    assert got <= opt * 1.2, (got, opt)
+
+
+def test_auction_tie_heavy_cap_no_drops():
+    """Quantized (tie-heavy) costs with a tiny iteration cap: the
+    bidding war hits the cap, but the completion pass must still
+    deliver full cardinality on an all-valid square instance."""
+    rng = np.random.default_rng(3)
+    n = 128
+    cost = np.round(rng.uniform(0, 3.0, (n, n)), 0)   # massive ties
+    valid = np.ones((n, n), bool)
+    # deliberately starve the auction: cap far below convergence needs.
+    # (auction_assign floors the cap at 4n internally; 4n rounds cannot
+    # finish a 128-wide eps-war on tied costs.)
+    out = np.asarray(auction_assign(jnp.asarray(cost, jnp.float32),
+                                    jnp.asarray(valid), max_iters=1))
+    assert (out >= 0).all(), f"{(out < 0).sum()} rows dropped at cap"
+    assert len(set(out.tolist())) == n
+
+
+def test_auction_initiator_density_m512():
+    """The initiator's shape regime at bench scale: P=32 prelims vs
+    M=512 measurements, gates overlapping heavily.  All prelims with
+    any gated measurement must be assigned (solvable: 512 >> 32)."""
+    rng = np.random.default_rng(7)
+    P, M = 32, 512
+    px = rng.normal(0, 50.0, (P, 2))
+    z = np.concatenate([px + rng.normal(0, 3.0, (P, 2)),
+                        rng.normal(0, 60.0, (M - P, 2))])
+    cost = np.linalg.norm(px[:, None, :] - z[None, :, :], axis=2)
+    valid = cost < 25.0
+    solvable = valid.any(axis=1)
+    out = np.asarray(auction_assign(jnp.asarray(cost, jnp.float32),
+                                    jnp.asarray(valid), max_iters=300))
+    # oracle cardinality: with 512 columns and 32 rows each gated to
+    # >=1 column, Hungarian assigns every solvable row
+    ref = _oracle(cost, valid)
+    assert ((out >= 0) == (ref >= 0)).all() or \
+        (out >= 0).sum() >= (ref >= 0).sum(), \
+        f"cardinality {np.sum(out >= 0)} vs oracle {np.sum(ref >= 0)}"
+    assert (out[solvable] >= 0).all()
+    got = _total(cost, out)
+    opt = _total(cost, ref)
+    span = cost[valid].max() - cost[valid].min()
+    assert got <= opt + span * 1e-2 + 1e-3, (got, opt)

@@ -147,3 +147,27 @@ def test_ais_parity_id_scrambling():
                 total += c
             assert total <= ref_obj + tol, \
                 f"scan {i}: real divergence ({total} vs {ref_obj})"
+
+
+def test_ais_fuse_width_compression_preserves_decisions():
+    """shapes.ais_per_leaf = 2 (compressed stage-2 fusion) must make
+    the same selections as the exhaustive G = A path when the stage-1
+    gate admits few messages per leaf (the production regime)."""
+    import dataclasses
+    x0, mmsi, scans = _ais_scenario(n_scans=6, seed=17)
+    shapes_c = dataclasses.replace(SHAPES, ais_per_leaf=2)
+
+    def run_with(shapes):
+        W = shapes.window
+        tracker = Tracker(shapes, PARAMS, method='lagrangian',
+                          use_ais=True, ais_initialization=False)
+        tracker.pre_initialize(0.0, x0, mmsi=mmsi)
+        sel = []
+        for t, z, ais in scans:
+            out = tracker.add_measurement_list(t, z, ais_messages=ais)
+            sel.append([(int(out.sel_hist_meas[k, W - 1]),
+                         int(out.sel_hist_mmsi[k, W - 1]))
+                        for k in range(len(x0))])
+        return sel
+
+    assert run_with(SHAPES) == run_with(shapes_c)
