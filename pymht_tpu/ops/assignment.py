@@ -51,13 +51,15 @@ def auction_assign(cost, valid, max_iters: int = 4000):
     # cardinality and optimality (measured, round 3) — so we keep the
     # exact single small-eps phase.
     eps = span / jnp.float32(2.0 * (n + 1) * (n + 1))
-    # The cap scales with the BIDDER count (rows): production GNN
-    # instances are asymmetric (R <= max_prelim/max_initiators ~ 64,
-    # C = measurements up to 512).  Dense square R = C = 512 instances
-    # can exhaust any practical cap; the completion pass below still
-    # guarantees max cardinality there, with cost quality degrading
-    # gracefully (tested in test_assignment.py).
-    max_iters = max(max_iters, 64 * R)
+    # Modest floor on the caller's cap, scaled by the BIDDER count.
+    # The cap is a LATENCY budget: the auction runs inside the per-scan
+    # jit (initiator GNN), where a large floor at R=512 initiators cost
+    # ~400 ms/scan on TPU (measured round 3: 64*R blew the streaming
+    # bench 45x).  Cap-hits no longer drop rows — the completion pass
+    # below guarantees max cardinality; only cost optimality degrades,
+    # and only on adversarial dense instances (tested in
+    # test_assignment.py).
+    max_iters = max(max_iters, 2 * R)
 
     def phase_body(carry):
         price, owner, row_of, it = carry
