@@ -133,6 +133,24 @@ def main():
         reps.append(time.time() - t0)
     stream_ms = float(np.median(reps) / N_SCANS * 1000.0)
 
+    # ---- path B2: clusters-on observability cost --------------------
+    # Same streaming run with per-scan cluster labels computed (the
+    # printClusterList/diagnostics path); reported separately so the
+    # observability overhead is known (verdict round-2 weak item 4).
+    run_cl = jax.jit(lambda st, ist, sc, a: scan_many(
+        st, ist, sc, a, shapes, params, method=METHOD, use_ais=False,
+        compute_clusters=True))
+    out_cl = run_cl(tracker2.state, tracker2.init_state, scans_dev, ais_dev)
+    jax.block_until_ready(out_cl)
+    reps_cl = []
+    for _ in range(3):
+        t0 = time.time()
+        out_cl = run_cl(tracker2.state, tracker2.init_state, scans_dev,
+                        ais_dev)
+        jax.block_until_ready(out_cl)
+        reps_cl.append(time.time() - t0)
+    clusters_ms = float(np.median(reps_cl) / N_SCANS * 1000.0)
+
     # ---- path C: AIS fusion enabled (verdict round-2 item 2) --------
     # Same 100-target scenario but every target carries a transponder;
     # realistic class-A report intervals give ~8-32 messages per scan.
@@ -212,6 +230,7 @@ def main():
         "vs_baseline": round(10.0 / stream_ms, 4),
         "dispatch_ms_per_scan": round(dispatch_ms, 3),
         "ais_ms_per_scan": round(ais_ms, 3),
+        "clusters_on_ms_per_scan": round(clusters_ms, 3),
         "ais_msgs_per_scan": round(float(np.mean(n_msgs)), 1),
         "median_dual_gap": round(gap, 6),
         "opt_gap_vs_exact_oracle": (round(oracle_gap, 6)

@@ -254,6 +254,8 @@ class Tracker:
         self.init_P = {}            # id -> initial covariance [4,4]
         self.scan_times = []
         self.scan_history = []      # raw numpy measurements per scan
+        self.ais_history = []       # AIS message list per scan
+                                    # (reference __aisHistory__, :83)
         from ..utils.timing import RuntimeLog
         self.runtime = RuntimeLog(radar_period=params.radar_period)
         self.runtime_log = []
@@ -339,6 +341,7 @@ class Tracker:
             self.t0 = float(t) - self.params.radar_period
         t_rel = float(t) - self.t0
         self.scan_history.append(np.asarray(z, np.float32).reshape(-1, 2))
+        self.ais_history.append(list(ais_messages or []))
         scan = self._pad_scan(t_rel, z)
         ais = self._pad_ais(ais_messages or [])
         self.state, self.init_state, out = self._step(
@@ -580,7 +583,16 @@ class Tracker:
         """RTS-smoothed (positions, velocities, ok) per track id —
         reference getSmoothTracks (tracker.py:1273-1274,
         pyTarget.py:580-609), pykalman EM+RTS replaced by the batched
-        lax.scan smoother."""
+        lax.scan smoother.
+
+        DELTA vs the reference: pykalman runs full EM with n_iter=5
+        (pyTarget.py:598-602) refitting all model matrices; here
+        ``em_iters`` defaults to 0 (pure RTS on the pv model) and EM,
+        when requested, refits only scalar process/measurement noise
+        scales (ops/smoother.py).  The pv matrices are the truth model
+        of the simulator, so the full-EM refit mostly chased noise; the
+        delta applies to every consumer, including the smoothed states
+        serialized by xml_io.store_run."""
         from ..ops.smoother import rts_smooth
         time_to_idx = {t: i for i, t in enumerate(self.scan_times)}
         out = {}

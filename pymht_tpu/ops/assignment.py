@@ -4,11 +4,12 @@ The reference solves its initiator GNN with an external Cython/C++
 Hungarian solver (munkres, /root/reference/pymht/initiators/m_of_n.py:24-104)
 after bigM-padding the gated cost matrix.  Here the same problem — pick a
 minimum-cost matching among the gated (row, col) pairs, rows may stay
-unassigned — is solved with a Jacobi parallel auction under eps-scaling:
+unassigned — is solved with a single-phase Jacobi parallel auction:
 every unassigned row bids for its best column, columns go to the highest
-bidder, prices rise by at least eps, and eps shrinks over phases (prices
-carry over, assignments reset), which bounds bidding wars.  Fixed-shape,
-while_loop-friendly, final matching within n*eps_final of optimal.
+bidder, prices rise by at least eps (chosen small enough that the
+matching is n*eps-optimal).  A bounded completion pass after the
+iteration cap guarantees max cardinality even on adversarial instances.
+Fixed-shape, while_loop-friendly.
 """
 from __future__ import annotations
 
@@ -138,37 +139,4 @@ def auction_assign(cost, valid, max_iters: int = 4000):
 
     row_of, _, _ = jax.lax.while_loop(
         comp_cond, comp_body, (row_of, owner >= 0, jnp.asarray(0)))
-    return row_of
-
-
-def greedy_assign(cost, valid, rounds: int = 8):
-    """Parallel greedy matching: each round, unassigned rows claim their
-    cheapest free valid column; each contested column goes to its
-    cheapest claimant.  O(rounds) sequential steps — the bounded-latency
-    alternative to the auction for large low-stakes GNN instances
-    (uncontested pairs, the common spatial case, resolve in round one).
-    """
-    R, C = cost.shape
-    INF = jnp.float32(1e9)
-    c = jnp.where(valid, cost, INF)
-
-    def body(i, carry):
-        row_of, col_taken = carry
-        cc = jnp.where(col_taken[None, :], INF, c)
-        best_c = jnp.argmin(cc, axis=1)                    # [R]
-        best_v = jnp.min(cc, axis=1)
-        wants = (row_of < 0) & (best_v < INF * 0.5)
-        bid = jnp.where(
-            wants[:, None] & (jnp.arange(C)[None, :] == best_c[:, None]),
-            cost, INF)                                     # [R, C]
-        win_r = jnp.argmin(bid, axis=0)                    # [C]
-        has = jnp.min(bid, axis=0) < INF * 0.5
-        row_of = row_of.at[jnp.where(has, win_r, R)].set(
-            jnp.arange(C), mode='drop')
-        col_taken = col_taken | has
-        return row_of, col_taken
-
-    row_of, _ = jax.lax.fori_loop(
-        0, rounds, body,
-        (jnp.full((R,), -1, jnp.int32), jnp.zeros((C,), bool)))
     return row_of

@@ -172,3 +172,33 @@ def plot_ground_truth(ax, sim_list, colors=None, label=True):
             ha, va = _best_text_position(nv)
             ax.text(arr[0, k, 0], arr[0, k, 1], f"G{k}", fontsize=8,
                     horizontalalignment=ha, verticalalignment=va)
+
+
+def plot_terminated_tracks(ax, tracker, color='0.5'):
+    """Only the terminated tracks, end-marked red (reference
+    plotTerminatedTracks, tracker.py:1321-1329)."""
+    for tid, arch in sorted(tracker.terminated.items()):
+        if arch.states:
+            plot_track(ax, arch.times, arch.states, track_id=tid,
+                       color=color, terminated=True)
+
+
+def plot_ais_updates(ax, ais_history, color='tab:orange', alpha=0.7):
+    """AIS message positions, one marker per message (reference
+    plotLastAisUpdate/plotAllAisUpdates, tracker.py:1366-1381).
+    ``ais_history`` is an iterable of per-scan message lists (each
+    message has .state); the Tracker records it as ``ais_history``."""
+    pts = [np.asarray(m.state)[:2]
+           for group in ais_history for m in (group or [])]
+    if pts:
+        pts = np.stack(pts)
+        ax.plot(pts[:, 0], pts[:, 1], 'x', c=color, alpha=alpha,
+                markersize=5)
+
+
+def plot_initial_targets(ax, states, **kw):
+    """Initial target positions (reference plotInitialTargets,
+    tracker.py:1387-1397)."""
+    xs = np.asarray([np.asarray(s)[:2] for s in states])
+    if len(xs):
+        ax.plot(xs[:, 0], xs[:, 1], 'k+', markersize=8, **kw)

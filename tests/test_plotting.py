@@ -32,6 +32,9 @@ def test_plot_full_scene(tmp_path):
     plotting.plot_tracks(ax, tracker, smooth=True)
     plotting.plot_validation_regions(ax, tracker)
     plotting.plot_velocity_arrows(ax, tracker)
+    plotting.plot_terminated_tracks(ax, tracker)
+    plotting.plot_ais_updates(ax, tracker.ais_history)
+    plotting.plot_initial_targets(ax, [t.state for t in targets])
     out = tmp_path / "scene.png"
     fig.savefig(out)
     assert out.exists() and out.stat().st_size > 1000
