@@ -144,7 +144,11 @@ def step(state: InitiatorState,
     nis = k.nis(zt, S_inv)                                  # [P,M]
     dist = jnp.linalg.norm(zt, axis=2)
     gate = (nis <= gamma) & z_mask[None, :] & st.p_mask[:, None]
-    assign = auction_assign(dist, gate, max_iters=300)      # [P] -> meas or -1
+    # max_iters is a LATENCY budget (the auction runs inside the per-scan
+    # jit; each iteration ~13 us on TPU, measured round 3).  Cardinality
+    # stays exact past the cap via augmentation; only contested-tie cost
+    # refinement is truncated.
+    assign = auction_assign(dist, gate, max_iters=48)       # [P] -> meas or -1
     assigned = assign >= 0
     am = jnp.clip(assign, 0, M - 1)
     x_upd = st.p_x + jnp.einsum('pij,pj->pi', K, zt[jnp.arange(P), am])
@@ -181,7 +185,7 @@ def step(state: InitiatorState,
     # (m_of_n.py:380-413); the auction converges in a few rounds for the
     # spatially-separated common case but resolves contested pairings
     # optimally where greedy would not.
-    assign2 = auction_assign(d_init, gate2, max_iters=300)  # [I] -> meas or -1
+    assign2 = auction_assign(d_init, gate2, max_iters=48)   # [I] -> meas or -1
     paired = assign2 >= 0
     am2 = jnp.clip(assign2, 0, M - 1)
     # two-point velocity init (m_of_n.py:455-463)

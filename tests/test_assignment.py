@@ -197,3 +197,23 @@ def test_auction_initiator_density_m512():
     opt = _total(cost, ref)
     span = cost[valid].max() - cost[valid].min()
     assert got <= opt + span * 1e-2 + 1e-3, (got, opt)
+
+
+def test_auction_augmentation_displacement_chain():
+    """Max cardinality requiring a length-3 alternating chain: with a
+    starved cap the auction can leave row 2 unassigned with NO free
+    valid column (greedy completion is powerless — only displacement
+    via an augmenting path reaches full cardinality).  Chain: r2 takes
+    c1, displacing r1 to c0, displacing r0 to c2."""
+    cost = np.array([[1.0, 9.0, 2.0],
+                     [1.0, 1.1, 9.0],
+                     [9.0, 1.0, 9.0]], np.float32)
+    valid = np.array([[True, True, True],
+                      [True, True, False],
+                      [False, True, False]])
+    out = np.asarray(auction_assign(jnp.asarray(cost), jnp.asarray(valid),
+                                    max_iters=1))
+    assert (out >= 0).all(), out
+    assert sorted(out.tolist()) == [0, 1, 2]
+    ref = _oracle(cost, valid)
+    assert (ref >= 0).sum() == 3
