@@ -319,15 +319,43 @@ def grow(state: TrackerState,
         ais_m = jnp.clip(ais_sub - 1, 0, M - 1)
 
     # --- gather new leaf states -------------------------------------
-    x_bar_p = x_bar[tb, parent]                                      # [T,L,4]
-    P_bar_p = P_bar[tb, parent]
-    K_p = K[tb, parent]                                              # [T,L,4,2]
+    # Every parent-indexed payload is packed into ONE [T, L, D] tensor
+    # so the beam re-indexing is a single gather: on this TPU each
+    # separate gather/scatter op costs ~300-400 us of the scan budget
+    # regardless of size (measured round 2/3), and the naive tail did
+    # ~10 of them (x_bar/P_bar/K/P_hat + 5 history chains).  Integer
+    # channels ride along bitcast to f32 (pure data movement — no
+    # arithmetic ever touches the bit patterns).
+    i2f = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)     # noqa: E731
+    f2i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)      # noqa: E731
+    payload = jnp.concatenate([
+        x_bar,                                                       # 0:4
+        P_bar.reshape(T, L, 16),                                     # 4:20
+        K.reshape(T, L, 8),                                          # 20:28
+        P_hat.reshape(T, L, 16),                                     # 28:44
+        i2f(state.hist_meas),                                        # 44:44+W
+        i2f(state.hist_ais),                                         # +W
+        i2f(state.hist_mmsi),                                        # +W
+        state.hist_cnllr,                                            # +W
+        state.hist_x.reshape(T, L, 4 * W),                           # +4W
+    ], axis=2)                                                       # [T,L,44+8W]
+    pp = payload[tb, parent]                                         # ONE gather
+    x_bar_p = pp[:, :, 0:4]
+    P_bar_p = pp[:, :, 4:20].reshape(T, L, 4, 4)
+    K_p = pp[:, :, 20:28].reshape(T, L, 4, 2)
+    P_radar = pp[:, :, 28:44].reshape(T, L, 4, 4)
+    h0 = 44
+    hist_meas_p = f2i(pp[:, :, h0:h0 + W])
+    hist_ais_p = f2i(pp[:, :, h0 + W:h0 + 2 * W])
+    hist_mmsi_p = f2i(pp[:, :, h0 + 2 * W:h0 + 3 * W])
+    hist_cnllr_p = pp[:, :, h0 + 3 * W:h0 + 4 * W]
+    hist_x_p = pp[:, :, h0 + 4 * W:h0 + 8 * W].reshape(T, L, W, 4)
+
     # Residual of the selected candidate, recomputed directly (cheaper
     # than carrying/gathering the [T,L,M,2] residual tensor, and the
     # kernel path never materialises it).
     zt_p = scan.z[radar_m] - x_bar_p[..., :2]                        # [T,L,2]
     x_radar = x_bar_p + jnp.einsum('tlij,tlj->tli', K_p, zt_p)
-    P_radar = P_hat[tb, parent]
 
     new_x = jnp.where(is_zero[..., None], x_bar_p, x_radar)
     new_P = jnp.where(is_zero[..., None, None], P_bar_p, P_radar)
@@ -338,14 +366,23 @@ def grow(state: TrackerState,
     if use_ais:
         # Recompute the selected fused states from the compressed
         # stage-2 ingredients — only [T,L] gathers, never the full
-        # [T,L,G,M,4] fused-state tensor.
-        x_p = x_bar2[tb, parent, ais_g]                              # [T,L,4]
-        K_f = K2g[tb, parent, ais_g]                                 # [T,L,4,2]
-        zt_f = scan.z[ais_m] - z_hat2[tb, parent, ais_g]             # [T,L,2]
+        # [T,L,G,M,4] fused-state tensor.  Same single-gather packing
+        # over the [T,L,G] compressed axis.
+        apayload = jnp.concatenate([
+            x_bar2,                                                  # 0:4
+            K2g.reshape(T, L, G, 8),                                 # 4:12
+            z_hat2,                                                  # 12:14
+            P_ais_hat.reshape(T, L, G, 16),                          # 14:30
+            i2f(ais_idx)[..., None],                                 # 30
+        ], axis=3)                                                   # [T,L,G,31]
+        ap = apayload[tb, parent, ais_g]                             # ONE gather
+        x_p = ap[:, :, 0:4]
+        K_f = ap[:, :, 4:12].reshape(T, L, 4, 2)
+        zt_f = scan.z[ais_m] - ap[:, :, 12:14]
         x_f = x_p + jnp.einsum('tlij,tlj->tli', K_f, zt_f)
-        P_f = P_ais_hat[tb, parent, ais_g]
+        P_f = ap[:, :, 14:30].reshape(T, L, 4, 4)
         # Map the compressed slot back to the real AIS message index.
-        ais_a = ais_idx[tb, parent, ais_g]                           # [T,L]
+        ais_a = f2i(ap[:, :, 30])                                    # [T,L]
         new_x = jnp.where(is_ais[..., None],
                           jnp.where(is_pure_ais[..., None], x_p, x_f), new_x)
         new_P = jnp.where(is_ais[..., None, None], P_f, new_P)
@@ -358,22 +395,19 @@ def grow(state: TrackerState,
     new_meas_label = jnp.where(new_mask, new_meas_label, -1)
 
     # --- roll history one column left, write the new column ---------
-    def shift_append(hist, col, fill):
-        rolled = jnp.roll(hist, -1, axis=2)
-        rolled = rolled.at[:, :, -1].set(col)
-        return jnp.where(new_mask[:, :, None] if rolled.ndim == 3
-                         else new_mask[:, :, None, None],
-                         rolled, fill)
+    # The gathered history is already parent-aligned; rolling is a
+    # W-slice + concat of the new column (fusable data movement, no
+    # second gather).
+    def shift_append(hist_p, col, fill):
+        rolled = jnp.concatenate([hist_p[:, :, 1:], col[:, :, None]],
+                                 axis=2)
+        return jnp.where(new_mask[:, :, None], rolled, fill)
 
-    # parent gather first: the new leaf inherits its parent's history.
-    def pgather(hist):
-        return hist[tb, parent]
-
-    hist_meas = shift_append(pgather(state.hist_meas), new_meas_label, -1)
-    hist_ais = shift_append(pgather(state.hist_ais), new_ais_label, 0)
-    hist_mmsi = shift_append(pgather(state.hist_mmsi), new_mmsi_label, 0)
-    hist_cnllr = shift_append(pgather(state.hist_cnllr), top_scores, 0.0)
-    hx = jnp.roll(pgather(state.hist_x), -1, axis=2).at[:, :, -1].set(new_x)
+    hist_meas = shift_append(hist_meas_p, new_meas_label, -1)
+    hist_ais = shift_append(hist_ais_p, new_ais_label, 0)
+    hist_mmsi = shift_append(hist_mmsi_p, new_mmsi_label, 0)
+    hist_cnllr = shift_append(hist_cnllr_p, top_scores, 0.0)
+    hx = jnp.concatenate([hist_x_p[:, :, 1:], new_x[:, :, None]], axis=2)
     hist_x = jnp.where(new_mask[:, :, None, None], hx, 0.0)
 
     # Roll the warm-started selection duals with the window: prices of

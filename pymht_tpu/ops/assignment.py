@@ -68,29 +68,41 @@ def auction_assign(cost, valid, max_iters: int = 4000):
     eps = span / jnp.float32(2.0 * (n + 1) * (n + 1))
 
     def phase_body(carry):
+        # Scatter-free iteration: every update is a dense one-hot
+        # compare/select on [R, C] — scatters inside loop bodies are the
+        # expensive op class on TPU (measured cost model, CLAUDE.md).
         price, owner, row_of, it = carry
         unassigned = row_of < 0                            # [R]
         net = value - price[None, :]                       # [R, C]
         best_col = jnp.argmax(net, axis=1)                 # [R]
         best_val = jnp.max(net, axis=1)
-        net2 = net.at[jnp.arange(R), best_col].set(NEG)
-        second_val = jnp.maximum(jnp.max(net2, axis=1), 0.0)
+        onehot_best = jnp.arange(C)[None, :] == best_col[:, None]  # [R,C]
+        second_val = jnp.maximum(
+            jnp.max(jnp.where(onehot_best, NEG, net), axis=1), 0.0)
         wants = unassigned & (best_val > 0.0)              # profitable bid
         bid_price = price[best_col] + best_val - second_val + eps
 
-        bid_matrix = jnp.where(
-            wants[:, None] & (jnp.arange(C)[None, :] == best_col[:, None]),
-            bid_price[:, None], NEG)                       # [R, C]
+        bid_matrix = jnp.where(wants[:, None] & onehot_best,
+                               bid_price[:, None], NEG)    # [R, C]
         col_best_bid = jnp.max(bid_matrix, axis=0)         # [C]
         col_winner = jnp.argmax(bid_matrix, axis=0)        # [C]
         col_has_bid = col_best_bid > NEG * 0.5
 
+        # Rows displaced from a column that was re-bid this round.
         displaced = col_has_bid & (owner >= 0)
-        row_of = row_of.at[jnp.where(displaced, owner, R)].set(-1, mode='drop')
+        row_displaced = jnp.any(
+            (jnp.arange(R)[:, None] == owner[None, :]) & displaced[None, :],
+            axis=1)                                        # [R]
+        # Winning bidders take their column (a winner was unassigned, so
+        # it is never simultaneously displaced).
+        win_matrix = ((jnp.arange(R)[:, None] == col_winner[None, :])
+                      & col_has_bid[None, :])              # [R, C]
+        row_won = jnp.any(win_matrix, axis=1)
+        row_new_col = jnp.argmax(win_matrix, axis=1)
+        row_of = jnp.where(row_won, row_new_col,
+                           jnp.where(row_displaced, -1, row_of))
         owner = jnp.where(col_has_bid, col_winner, owner)
         price = jnp.where(col_has_bid, col_best_bid, price)
-        row_of = row_of.at[jnp.where(col_has_bid, col_winner, R)].set(
-            jnp.arange(C), mode='drop')
         return price, owner, row_of, it + 1
 
     def phase_cond(carry):
@@ -140,8 +152,10 @@ def auction_assign(cost, valid, max_iters: int = 4000):
             c, INF)                                        # [R, C]
         win_r = jnp.argmin(bid, axis=0)                    # [C]
         has = jnp.min(bid, axis=0) < INF * 0.5
-        row_of = row_of.at[jnp.where(has, win_r, R)].set(
-            jnp.arange(C), mode='drop')
+        win_matrix = ((jnp.arange(R)[:, None] == win_r[None, :])
+                      & has[None, :])                      # [R, C]
+        row_won = jnp.any(win_matrix, axis=1)
+        row_of = jnp.where(row_won, jnp.argmax(win_matrix, axis=1), row_of)
         owner = jnp.where(has, win_r, owner)
         return row_of, owner, it + 1
 
@@ -182,9 +196,9 @@ def _augment_to_max_cardinality(valid, row_of, owner):
             col_parent = jnp.where(new_cols, par, col_parent)
             vis_cols = vis_cols | new_cols
             # matched edges: owners of newly visited (non-free) cols
-            nr = jnp.zeros((R,), bool).at[
-                jnp.where(new_cols & (owner >= 0), owner, R)].set(
-                    True, mode='drop')
+            nr = jnp.any(
+                (jnp.arange(R)[:, None] == owner[None, :])
+                & (new_cols & (owner >= 0))[None, :], axis=1)
             new_rows = nr & ~vis_rows
             vis_rows = vis_rows | new_rows
             return vis_rows, vis_cols, col_parent, new_rows, it + 1
