@@ -60,30 +60,44 @@ def main():
     sc1 = Scan(z=jnp.asarray(z1), mask=jnp.ones((M,), bool),
                time=jnp.asarray(5.0, jnp.float32))
 
+    # Device-resident A/B: REPS grows chained in ONE dispatch via
+    # lax.scan (the axon tunnel adds ~30 ms per dispatch, which would
+    # swamp a ~1 ms difference in single-dispatch timing).  The state
+    # carry makes each grow depend on the previous one so XLA cannot
+    # DCE or overlap them away; scan times alternate so the forest
+    # stays live.
     results = {}
+    zb = jnp.stack([sc0.z, sc1.z] * (REPS // 2 + 1))[:REPS]
+    mb = jnp.stack([sc0.mask, sc1.mask] * (REPS // 2 + 1))[:REPS]
+    tidx = jnp.arange(1, REPS + 1, dtype=jnp.float32) * 2.5
     for use_kernel in (False, True):
         try:
-            f = jax.jit(lambda s, sc: grow(s, sc, None, shapes, params,
-                                           use_gate_kernel=use_kernel))
-            st1 = f(st, sc0)
-            jax.block_until_ready(st1)
-            g = f(st1.state, sc1)
-            jax.block_until_ready(g)
+            def many(s, zz, mm, tt):
+                def body(st_, inp):
+                    z, m, t = inp
+                    g = grow(st_, Scan(z=z, mask=m, time=t), None,
+                             shapes, params, use_gate_kernel=use_kernel)
+                    return g.state, g.used_meas.sum()
+                return jax.lax.scan(body, s, (zz, mm, tt))
+            f = jax.jit(many)
+            out = f(st, zb, mb, tidx)
+            jax.block_until_ready(out)
             times = []
-            for _ in range(REPS):
+            for _ in range(7):
                 t0 = time.time()
-                g = f(st1.state, sc1)
-                jax.block_until_ready(g)
+                out = f(st, zb, mb, tidx)
+                jax.block_until_ready(out)
                 times.append(time.time() - t0)
             key = "kernel_ms" if use_kernel else "xla_ms"
-            results[key] = round(float(np.median(times)) * 1000.0, 3)
+            results[key] = round(float(np.median(times)) / REPS * 1000.0, 3)
         except Exception as e:  # noqa: BLE001 — report, don't crash A/B
             key = "kernel_error" if use_kernel else "xla_error"
             results[key] = f"{type(e).__name__}: {e}"[:300]
 
     results.update({"T": T, "L": L, "M": M, "reps": REPS,
-                    "note": "grow() end-to-end incl. dispatch overhead; "
-                            "same jit wrapper both ways"})
+                    "note": "ms per grow(), REPS grows chained in one "
+                            "dispatch (device-resident lax.scan); same "
+                            "jit wrapper both ways"})
     print(json.dumps(results))
 
 
