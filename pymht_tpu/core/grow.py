@@ -74,8 +74,11 @@ class GrowOutputs(NamedTuple):
     #   window (reference per-target grow TIME, tracker.py:918-928)
 
 
-def _radar_candidates(state, scan, params, A_mat, Q_mat, C, R):
-    """Predict + gate + score all (leaf, radar measurement) pairs.
+def _radar_candidates_einsum(state, scan, params, A_mat, Q_mat, C, R):
+    """Predict + gate + score all (leaf, radar measurement) pairs —
+    einsum formulation, kept as the readable parity oracle for the
+    production scalar-plane path (ops.ais_fused.radar_candidates_planes;
+    tests/test_ais_fused.py asserts equivalence).
 
     Returns per-candidate scores and the update ingredients shared by the
     selection step.
@@ -93,6 +96,20 @@ def _radar_candidates(state, scan, params, A_mat, Q_mat, C, R):
 
 def _ais_candidates(state, scan, ais, params, G=None):
     """Two-stage AIS+radar fusion candidates (tracker.py:417-552).
+
+    Production path: the scalar-plane formulation in ops.ais_fused
+    (XLA-fusable, ~8 ms/scan cheaper at bench shapes than the einsum
+    chains below, which remain as the readable parity oracle —
+    tests/test_ais_fused.py asserts equivalence)."""
+    from ..ops.ais_fused import ais_candidates_planes
+    T, L = state.leaf_mask.shape
+    A = ais.mask.shape[0]
+    G = A if G is None else min(max(G, 1), A)
+    return ais_candidates_planes(state, scan, ais, params, G)
+
+
+def _ais_candidates_einsum(state, scan, ais, params, G=None):
+    """Einsum/dot formulation of the two-stage fusion (parity oracle).
 
     Stage 1 gates each (leaf, message) pair at the message timestamp
     (full-state AIS observation, C_ais = I) and applies MMSI
@@ -215,12 +232,13 @@ def grow(state: TrackerState,
     R = pv.R_RADAR()
 
     if use_gate_kernel is None:
-        # Opt-in for now: the XLA-fused path is within noise of the
-        # Mosaic kernel at current shapes (the pipeline is latency- not
-        # bandwidth-bound); flip via scan_step(use_gate_kernel=True) or
-        # the PYMHT_TPU_GATE_KERNEL env var.
-        import os
-        use_gate_kernel = os.environ.get('PYMHT_TPU_GATE_KERNEL') == '1'
+        # Settled by on-TPU A/B (tools/gate_kernel_ab_r3.json): the
+        # XLA-fused path beats the Mosaic kernel by ~30% at bench shapes
+        # (3.19 vs 4.14 ms/grow, device-resident timing), so it is the
+        # unconditional default.  The kernel remains available via this
+        # explicit argument for A/B reruns (tools/bench_gate_kernel.py)
+        # and parity tests.
+        use_gate_kernel = False
 
     if use_gate_kernel:
         # Fused Pallas kernel: predict + gate + score in one VMEM pass.
@@ -242,9 +260,9 @@ def grow(state: TrackerState,
         _, S, _, K, P_hat = k.precalc(C, R, x_bar, P_bar)
         gate = cand_scores[:, :, 1:] < BIG * 0.5
     else:
-        (x_bar, P_bar, z_hat, S, K, P_hat,
-         zt, nis, gate, nllr_m) = _radar_candidates(
-            state, scan, params, A_mat, Q_mat, C, R)
+        from ..ops.ais_fused import radar_candidates_planes
+        (x_bar, P_bar, K, P_hat, gate, nllr_m) = radar_candidates_planes(
+            state, scan, params)
 
         # --- candidate scores ---------------------------------------
         # slot 0: zero hypothesis; slots 1..M: radar measurements.
