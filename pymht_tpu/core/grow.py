@@ -277,6 +277,7 @@ def grow(state: TrackerState,
             [zero_score[:, :, None], meas_score], axis=2)        # [T,L,1+M]
 
     use_ais = ais is not None
+    Cn_r = cand_scores.shape[2]                                      # 1 + M
     if use_ais:
         G = min(shapes.ais_fuse_width, shapes.max_ais)
         (g_ok, gate2, pure_gate, nllr1g, fused_score,
@@ -289,15 +290,35 @@ def grow(state: TrackerState,
                           BIG)                                       # [T,L,G,M]
         ais_block = jnp.concatenate(
             [pure_score[..., None], fused], axis=3)                  # [T,L,G,1+M]
-        cand_scores = jnp.concatenate(
-            [cand_scores, ais_block.reshape(T, L, G * (1 + M))], axis=2)
-
-    Cn = cand_scores.shape[2]                                        # candidates/leaf
-    flat_scores = cand_scores.reshape(T, L * Cn)
+        Cn = Cn_r + G * (1 + M)
+    else:
+        Cn = Cn_r
 
     # --- beam selection: keep the best L candidates per target -------
-    top_scores, top_idx = jax.lax.top_k(-flat_scores, L)
-    top_scores = -top_scores                                         # [T,L] ascending
+    # Block-wise exact merge: the global top-L over [radar | ais]
+    # candidates equals the top-L of (top-L(radar) ++ top-L(ais)), so
+    # the radar and AIS blocks are reduced SEPARATELY and merged over
+    # [T, 2L] — this avoids both materialising the concatenated
+    # [T, L*(1+M)(1+G)] score tensor (~50 MB at bench shapes) and the
+    # 3x-wider top_k, the dominant AIS-on overhead after the plane
+    # rewrite (tools/profile_ais.py).  Indices are remapped to the
+    # unified per-leaf slot layout documented in the module docstring.
+    flat_radar = cand_scores.reshape(T, L * Cn_r)
+    if use_ais:
+        neg_r, idx_r = jax.lax.top_k(-flat_radar, L)
+        glob_r = (idx_r // Cn_r) * Cn + (idx_r % Cn_r)
+        flat_ais = ais_block.reshape(T, L * G * (1 + M))
+        neg_a, idx_a = jax.lax.top_k(-flat_ais, L)
+        W_a = G * (1 + M)
+        glob_a = (idx_a // W_a) * Cn + Cn_r + (idx_a % W_a)
+        neg_m = jnp.concatenate([neg_r, neg_a], axis=1)              # [T,2L]
+        glob_m = jnp.concatenate([glob_r, glob_a], axis=1)
+        neg_top, pos = jax.lax.top_k(neg_m, L)
+        top_idx = jnp.take_along_axis(glob_m, pos, axis=1)
+        top_scores = -neg_top                                        # [T,L]
+    else:
+        top_scores, top_idx = jax.lax.top_k(-flat_radar, L)
+        top_scores = -top_scores                                     # [T,L] ascending
 
     # Guaranteed feasibility spine: the reference's tree always contains
     # a zero-hypothesis child of every node (pyTarget.py:319-328), which
@@ -313,7 +334,7 @@ def grow(state: TrackerState,
     beam_pos = jnp.argmax(top_idx == zcand[:, None], axis=1)         # [T]
     in_beam = jnp.any(top_idx == zcand[:, None], axis=1)
     force = has_zero & ~in_beam
-    zscore = jnp.take_along_axis(flat_scores, zcand[:, None], axis=1)[:, 0]
+    zscore = cand_scores[jnp.arange(T), zero_parent, 0]              # slot 0
     top_idx = top_idx.at[:, L - 1].set(
         jnp.where(force, zcand, top_idx[:, L - 1]))
     top_scores = top_scores.at[:, L - 1].set(
