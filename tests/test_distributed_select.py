@@ -190,3 +190,102 @@ def test_sharded_scan_step_matches_single_device():
                                       err_msg=f"scan {k}")
         np.testing.assert_allclose(states1[k], states2[k], atol=1e-4,
                                    err_msg=f"scan {k}")
+
+
+def test_sharded_scan_step_matches_single_device_with_ais():
+    """Same multi-scan sharded-vs-single equality, but with AIS fusion
+    AND AIS-aided initiation active: two targets carry transponders
+    (one high- one low-accuracy, matching MMSIs pre-assigned), one AIS
+    message belongs to no track (available for initiation).  Selected
+    labels, states, AND the psum'd used-MMSI exclusion must agree with
+    the single-device step scan by scan."""
+    from pymht_tpu.core.tracker import scan_step
+    from pymht_tpu.core import initiator as initiator_mod
+    from pymht_tpu.core.grow import AisBatch
+    from pymht_tpu.parallel.sharded_tracker import make_sharded_tracker_step
+
+    shapes = TrackerShapes(max_targets=8, max_leaves=8, max_meas=16,
+                           max_ais=4, window=5, max_prelim=8,
+                           max_initiators=16, ais_per_leaf=2)
+    params = TrackerParams(radar_period=2.5, P_d=0.9, lambda_phi=1e-6,
+                           lambda_nu=1e-6, N=3, radar_range=float('inf'),
+                           cnllr_upper_limit=1e9,
+                           score_upper_limit_scale=1e6)
+    rng = np.random.default_rng(9)
+    xs = np.zeros((4, 4), np.float32)
+    for i in range(4):
+        xs[i, :2] = [40 * i, 4.0 * (i % 2)]
+        xs[i, 2:] = [2.0, 0.5]
+    mmsi = np.array([111000001, 111000002, 0, 0], np.int32)
+
+    def seed_state():
+        st = empty_state(shapes, params)
+        mask = np.zeros(8, bool)
+        mask[:4] = True
+        xs8 = np.zeros((8, 4), np.float32)
+        xs8[:4] = xs
+        mm8 = np.zeros(8, np.int32)
+        mm8[:4] = mmsi
+        return insert_targets(st, jnp.asarray(xs8),
+                              jnp.broadcast_to(pv.P0, (8, 4, 4)),
+                              jnp.asarray(mask), jnp.asarray(mm8),
+                              jnp.asarray(0.0), params)
+
+    scans, batches = [], []
+    for k in range(4):
+        t = 2.5 * (k + 1)
+        z = (xs[:, :2] + xs[:, 2:] * t
+             + rng.normal(0, 1.0, (4, 2))).astype(np.float32)
+        zp = np.zeros((16, 2), np.float32)
+        zp[:4] = z
+        mask = np.zeros(16, bool)
+        mask[:4] = True
+        scans.append(Scan(z=jnp.asarray(zp), mask=jnp.asarray(mask),
+                          time=jnp.asarray(t, jnp.float32)))
+        ast = np.zeros((4, 4), np.float32)
+        ast[0] = xs[0] + np.concatenate(
+            [xs[0, 2:] * (t - 0.9), [0, 0]]).astype(np.float32)
+        ast[1] = xs[1] + np.concatenate(
+            [xs[1, 2:] * (t - 1.4), [0, 0]]).astype(np.float32)
+        ast[2] = [500.0 + 2.0 * t, 300.0, 2.0, 0.0]   # no matching track
+        batches.append(AisBatch(
+            state=jnp.asarray(ast),
+            time=jnp.asarray([t - 0.9, t - 1.4, t - 1.0, 0.0], jnp.float32),
+            mmsi=jnp.asarray([111000001, 111000002, 222000009, 0],
+                             jnp.int32),
+            high_accuracy=jnp.asarray([True, False, True, False]),
+            mask=jnp.asarray([True, True, True, False])))
+
+    st1 = seed_state()
+    ist1 = initiator_mod.empty_initiator(shapes)
+    labels1, states1, ais_labels1 = [], [], []
+    for sc, ab in zip(scans, batches):
+        st1, ist1, out = scan_step(st1, ist1, sc, ab, shapes, params,
+                                   method='lagrangian', use_ais=True)
+        labels1.append(np.asarray(out.sel_hist_meas)[:4, -1])
+        states1.append(np.asarray(out.track_x)[:4])
+        ais_labels1.append(np.asarray(st1.hist_ais)[
+            np.arange(8), np.asarray(st1.sel_leaf), -1][:4])
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ('cluster',))
+    step = make_sharded_tracker_step(mesh, shapes, params, use_ais=True)
+    st2 = seed_state()
+    ist2 = initiator_mod.empty_initiator(shapes)
+    labels2, states2, ais_labels2 = [], [], []
+    for sc, ab in zip(scans, batches):
+        st2, ist2, out = step(st2, ist2, sc, ab)
+        labels2.append(np.asarray(out['sel_hist_meas'])[:4, -1])
+        states2.append(np.asarray(out['track_x'])[:4])
+        ais_labels2.append(np.asarray(st2.hist_ais)[
+            np.arange(8), np.asarray(st2.sel_leaf), -1][:4])
+
+    fused_any = False
+    for k in range(len(scans)):
+        np.testing.assert_array_equal(labels1[k], labels2[k],
+                                      err_msg=f"scan {k} meas labels")
+        np.testing.assert_array_equal(ais_labels1[k], ais_labels2[k],
+                                      err_msg=f"scan {k} ais labels")
+        np.testing.assert_allclose(states1[k], states2[k], atol=1e-4,
+                                   err_msg=f"scan {k}")
+        fused_any |= bool((ais_labels1[k] > 0).any())
+    assert fused_any, "scenario never exercised AIS fusion"
