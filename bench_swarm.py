@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Swarm-scale benchmark: 1000 targets with AIS priors on ONE chip.
+
+BASELINE.json config 5 calls for a "1000-target swarm with AIS-style
+priors".  This runs the full per-scan pipeline (grow + two-stage AIS
+fusion + tiered selection + lifecycle + initiation) at swarm shapes,
+device-resident streaming, and prints one JSON line:
+
+  {"metric": "ms_per_scan_1000tgt_ais_swarm", ...}
+
+The cross-chip block partition of the same step is exercised by
+tests/test_distributed_select.py (shard_map over the cluster axis) and
+__graft_entry__.dryrun_multichip; on the single attached dev chip this
+records the per-chip throughput headline.
+"""
+import dataclasses  # noqa: F401
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_TARGETS = int(os.environ.get("SWARM_TARGETS", "1000"))
+N_SCANS = int(os.environ.get("SWARM_SCANS", "8"))
+M_CAP = int(os.environ.get("SWARM_MEAS", "2048"))
+A_CAP = int(os.environ.get("SWARM_AIS", "128"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from pymht_tpu.core.config import TrackerShapes, TrackerParams
+    from pymht_tpu.core.tracker import Tracker, scan_many
+    from pymht_tpu.core.grow import Scan, AisBatch
+    from pymht_tpu.utils import simulator as sim
+
+    period = 2.5
+    radar_range = 12000.0
+    shapes = TrackerShapes(
+        max_targets=1024, max_leaves=16, max_meas=M_CAP, max_ais=A_CAP,
+        window=6, max_prelim=64, max_initiators=512, ais_per_leaf=2)
+    params = TrackerParams(radar_period=period, P_d=0.9,
+                           lambda_phi=1.5e-6, lambda_nu=1e-6, N=4,
+                           radar_range=radar_range)
+
+    n_tgt = min(N_TARGETS, shapes.max_targets - 16)
+    rng = np.random.default_rng(77)
+    targets = sim.generate_initial_targets(
+        rng, n_tgt, (0.0, 0.0), radar_range * 0.85, 0.9, 0.1,
+        assign_mmsi=True, P_r=0.5)
+    sim_list = sim.simulate_targets(rng, targets,
+                                    sim_time=N_SCANS * period, dt=period)
+    scans = sim.simulate_scans(rng, sim_list, period, sigma_R=2.5,
+                               lambda_phi=1.5e-6, radar_range=radar_range,
+                               p0=(0.0, 0.0), lambda_local=0.2)
+    ais_groups = sim.simulate_ais(rng, sim_list, period,
+                                  init_time=sim_list[0][0].time)
+
+    M = shapes.max_meas
+    t0_base = scans[0].time - period
+    zb = np.zeros((N_SCANS, M, 2), np.float32)
+    mb = np.zeros((N_SCANS, M), bool)
+    tb = np.zeros((N_SCANS,), np.float32)
+    ais_st = np.zeros((N_SCANS, A_CAP, 4), np.float32)
+    ais_tm = np.zeros((N_SCANS, A_CAP), np.float32)
+    ais_mm = np.zeros((N_SCANS, A_CAP), np.int32)
+    ais_hi = np.zeros((N_SCANS, A_CAP), bool)
+    ais_mk = np.zeros((N_SCANS, A_CAP), bool)
+    n_meas, n_msgs = [], []
+    for i, s in enumerate(scans[:N_SCANS]):
+        n = min(len(s.measurements), M)
+        n_meas.append(len(s.measurements))
+        zb[i, :n] = s.measurements[:n]
+        mb[i, :n] = True
+        tb[i] = s.time - t0_base
+        group = ais_groups[i] if i < len(ais_groups) else []
+        n_msgs.append(len(group))
+        for j, msg in enumerate(group[:A_CAP]):
+            ais_st[i, j] = msg.state
+            ais_tm[i, j] = msg.time - t0_base
+            ais_mm[i, j] = msg.mmsi
+            ais_hi[i, j] = msg.highAccuracy
+            ais_mk[i, j] = True
+    scans_dev = Scan(z=jnp.asarray(zb), mask=jnp.asarray(mb),
+                     time=jnp.asarray(tb))
+    ais_dev = AisBatch(state=jnp.asarray(ais_st), time=jnp.asarray(ais_tm),
+                       mmsi=jnp.asarray(ais_mm),
+                       high_accuracy=jnp.asarray(ais_hi),
+                       mask=jnp.asarray(ais_mk))
+
+    F_inv = np.eye(4)
+    F_inv[0, 2] = F_inv[1, 3] = -period
+    tracker = Tracker(shapes, params, method='lagrangian', use_ais=True)
+    tracker.pre_initialize(scans[0].time - period,
+                           [F_inv @ t.state for t in targets],
+                           mmsi=[t.mmsi for t in targets])
+    run = jax.jit(lambda st, ist, sc, a: scan_many(
+        st, ist, sc, a, shapes, params, method='lagrangian', use_ais=True))
+    out = run(tracker.state, tracker.init_state, scans_dev, ais_dev)
+    jax.block_until_ready(out)
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        out = run(tracker.state, tracker.init_state, scans_dev, ais_dev)
+        jax.block_until_ready(out)
+        reps.append(time.time() - t0)
+    ms = float(np.median(reps) / N_SCANS * 1000.0)
+    _, _, outs = out
+    gaps = np.asarray(outs.sel_obj) - np.asarray(outs.sel_bound)
+    rel = np.median(gaps / np.maximum(1.0, np.abs(np.asarray(outs.sel_bound))))
+    n_alive = int(np.asarray(outs.track_mask)[-1].sum())
+
+    print(json.dumps({
+        "metric": "ms_per_scan_1000tgt_ais_swarm",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_real_time": round(period * 1000.0 / ms, 1),
+        "n_targets": n_tgt,
+        "tracks_alive_last_scan": n_alive,
+        "mean_meas_per_scan": round(float(np.mean(n_meas)), 1),
+        "mean_ais_per_scan": round(float(np.mean(n_msgs)), 1),
+        "median_dual_gap": round(float(rel), 6),
+        "hardware": "1x v5e (axon tunnel), device-resident streaming",
+    }))
+
+
+if __name__ == "__main__":
+    main()
