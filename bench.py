@@ -103,8 +103,14 @@ def main():
     oracle_gap = _exact_oracle_gap(tracker, shapes, params)
 
     # ---- path B: device-resident streaming via lax.scan -------------
+    # Device times MUST be relative to the tracker's internal origin
+    # (tracker.t0, set by pre_initialize) — using any other base shifts
+    # the first-scan dt and silently breaks pre-initialized tracks
+    # (measured round 3: dt=0 on scan 0 made every moving target miss).
     M = shapes.max_meas
-    t0_base = scans[0].time - period
+    tracker2 = Tracker(shapes, params, method=METHOD, use_ais=False)
+    tracker2.pre_initialize(scans[0].time - period, seed_states())
+    t0_base = tracker2.t0
     zb = np.zeros((N_SCANS, M, 2), np.float32)
     mb = np.zeros((N_SCANS, M), bool)
     tb = np.zeros((N_SCANS,), np.float32)
@@ -118,9 +124,6 @@ def main():
     ais_dev = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (N_SCANS,) + x.shape),
         empty_ais(shapes))
-
-    tracker2 = Tracker(shapes, params, method=METHOD, use_ais=False)
-    tracker2.pre_initialize(scans[0].time - period, seed_states())
     run = jax.jit(lambda st, ist, sc, a: scan_many(
         st, ist, sc, a, shapes, params, method=METHOD, use_ais=False))
     out = run(tracker2.state, tracker2.init_state, scans_dev, ais_dev)
@@ -170,7 +173,15 @@ def main():
                                  p0=(0.0, 0.0), lambda_local=0.5)
     ais_groups = sim.simulate_ais(rng_a, sim_list_a, period,
                                   init_time=sim_list_a[0][0].time)
-    t0_base_a = scans_a[0].time - period
+    def seed_states_a():
+        F_inv = np.eye(4)
+        F_inv[0, 2] = F_inv[1, 3] = -period
+        return [F_inv @ t.state for t in targets_a]
+
+    tracker3 = Tracker(shapes_a, params, method=METHOD, use_ais=True)
+    tracker3.pre_initialize(scans_a[0].time - period, seed_states_a(),
+                            mmsi=[t.mmsi for t in targets_a])
+    t0_base_a = tracker3.t0
     za = np.zeros((N_SCANS, M, 2), np.float32)
     ma = np.zeros((N_SCANS, M), bool)
     ta = np.zeros((N_SCANS,), np.float32)
@@ -201,14 +212,6 @@ def main():
                          high_accuracy=jnp.asarray(ais_hi),
                          mask=jnp.asarray(ais_mk))
 
-    def seed_states_a():
-        F_inv = np.eye(4)
-        F_inv[0, 2] = F_inv[1, 3] = -period
-        return [F_inv @ t.state for t in targets_a]
-
-    tracker3 = Tracker(shapes_a, params, method=METHOD, use_ais=True)
-    tracker3.pre_initialize(scans_a[0].time - period, seed_states_a(),
-                            mmsi=[t.mmsi for t in targets_a])
     run_a = jax.jit(lambda st, ist, sc, a: scan_many(
         st, ist, sc, a, shapes_a, params, method=METHOD, use_ais=True))
     out_a = run_a(tracker3.state, tracker3.init_state, scans_dev_a,

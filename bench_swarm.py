@@ -60,7 +60,14 @@ def main():
                                   init_time=sim_list[0][0].time)
 
     M = shapes.max_meas
-    t0_base = scans[0].time - period
+    F_inv = np.eye(4)
+    F_inv[0, 2] = F_inv[1, 3] = -period
+    tracker = Tracker(shapes, params, method='lagrangian', use_ais=True)
+    tracker.pre_initialize(scans[0].time - period,
+                           [F_inv @ t.state for t in targets],
+                           mmsi=[t.mmsi for t in targets])
+    # device times are relative to the tracker's internal origin
+    t0_base = tracker.t0
     zb = np.zeros((N_SCANS, M, 2), np.float32)
     mb = np.zeros((N_SCANS, M), bool)
     tb = np.zeros((N_SCANS,), np.float32)
@@ -91,12 +98,6 @@ def main():
                        high_accuracy=jnp.asarray(ais_hi),
                        mask=jnp.asarray(ais_mk))
 
-    F_inv = np.eye(4)
-    F_inv[0, 2] = F_inv[1, 3] = -period
-    tracker = Tracker(shapes, params, method='lagrangian', use_ais=True)
-    tracker.pre_initialize(scans[0].time - period,
-                           [F_inv @ t.state for t in targets],
-                           mmsi=[t.mmsi for t in targets])
     run = jax.jit(lambda st, ist, sc, a: scan_many(
         st, ist, sc, a, shapes, params, method='lagrangian', use_ais=True))
     out = run(tracker.state, tracker.init_state, scans_dev, ais_dev)

@@ -83,3 +83,55 @@ def test_empty_scans_no_tracks():
         tracker.add_measurement_list((k + 1) * 1.0, np.zeros((0, 2)))
     ids, states = tracker.get_track_states()
     assert len(ids) == 0
+
+
+def test_streaming_timebase_keeps_fast_preinit_targets():
+    """Round-3 regression: device-resident streaming (scan_many) with
+    scan times based on tracker.t0 must predict pre-initialized targets
+    correctly on the FIRST scan.  A wrong timebase (e.g. scans[0].time -
+    period) makes the first grow run with dt=0, so every moving target
+    misses its gate and fast ones die by the cnllr limit within two
+    scans — exactly what happened to the streaming benches."""
+    import jax
+    import jax.numpy as jnp
+    from pymht_tpu.core.tracker import Tracker, scan_many
+    from pymht_tpu.core.grow import Scan, empty_ais
+
+    shapes = TrackerShapes(max_targets=8, max_leaves=8, max_meas=8,
+                           max_ais=2, window=5, max_prelim=4,
+                           max_initiators=8)
+    params = TrackerParams(radar_period=2.5, P_d=0.99, lambda_phi=1e-6,
+                           lambda_nu=1e-6, N=3, radar_range=1e5)
+    # fast targets: offset v*period = 50 m >> gate if dt is wrong
+    xs = np.array([[0.0, 0.0, 20.0, 0.0],
+                   [500.0, 500.0, 0.0, -20.0],
+                   [-800.0, 200.0, 14.0, 14.0]], np.float32)
+    period = 2.5
+    t_abs0 = 100.0                      # first scan at an arbitrary time
+    F_inv = np.eye(4, dtype=np.float32)
+    F_inv[0, 2] = F_inv[1, 3] = -period
+    tracker = Tracker(shapes, params, method='lagrangian', use_ais=False)
+    tracker.pre_initialize(t_abs0 - period, [F_inv @ x for x in xs])
+
+    n_scans = 4
+    zb = np.zeros((n_scans, 8, 2), np.float32)
+    mb = np.zeros((n_scans, 8), bool)
+    tb = np.zeros((n_scans,), np.float32)
+    for k in range(n_scans):
+        t = t_abs0 + k * period
+        zb[k, :3] = xs[:, :2] + xs[:, 2:] * (k * period)
+        mb[k, :3] = True
+        tb[k] = t - tracker.t0           # THE contract under test
+    scans_dev = Scan(z=jnp.asarray(zb), mask=jnp.asarray(mb),
+                     time=jnp.asarray(tb))
+    ais_dev = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n_scans,) + x.shape),
+        empty_ais(shapes))
+    _, _, outs = scan_many(tracker.state, tracker.init_state, scans_dev,
+                           ais_dev, shapes, params, method='lagrangian',
+                           use_ais=False)
+    alive = np.asarray(outs.track_mask)[:, :3]
+    assert alive.all(), f"pre-initialized targets died: {alive}"
+    # every scan associates a real measurement (label > 0), no misses
+    labels = np.asarray(outs.sel_hist_meas)[:, :3, -1]
+    assert (labels > 0).all(), labels

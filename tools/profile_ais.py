@@ -51,7 +51,15 @@ def build():
     ais_groups = sim.simulate_ais(rng, sim_list, period,
                                   init_time=sim_list[0][0].time)
     M = shapes.max_meas
-    t0_base = scans[0].time - period
+    F_inv = np.eye(4)
+    F_inv[0, 2] = F_inv[1, 3] = -period
+    seed = [F_inv @ t.state for t in targets]
+    tr = Tracker(shapes, params, use_ais=True)
+    tr.pre_initialize(scans[0].time - period, seed,
+                      mmsi=[t.mmsi for t in targets])
+    # device times are relative to the tracker's internal origin —
+    # any other base shifts the first-scan dt (round-3 timebase bug)
+    t0_base = tr.t0
     zb = np.zeros((N_SCANS, M, 2), np.float32)
     mb = np.zeros((N_SCANS, M), bool)
     tb = np.zeros((N_SCANS,), np.float32)
@@ -78,12 +86,6 @@ def build():
                        mmsi=jnp.asarray(ais_mm),
                        high_accuracy=jnp.asarray(ais_hi),
                        mask=jnp.asarray(ais_mk))
-    F_inv = np.eye(4)
-    F_inv[0, 2] = F_inv[1, 3] = -period
-    seed = [F_inv @ t.state for t in targets]
-    tr = Tracker(shapes, params, use_ais=True)
-    tr.pre_initialize(scans[0].time - period, seed,
-                      mmsi=[t.mmsi for t in targets])
     return shapes, params, tr, scans_dev, ais_dev
 
 

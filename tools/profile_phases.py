@@ -54,7 +54,14 @@ def build():
                                lambda_phi=2e-5, radar_range=radar_range,
                                p0=(0.0, 0.0), lambda_local=0.5)
     M = shapes.max_meas
-    t0_base = scans[0].time - period
+    F_inv = np.eye(4)
+    F_inv[0, 2] = F_inv[1, 3] = -period
+    seed = [F_inv @ t.state for t in targets]
+    tr = Tracker(shapes, params, use_ais=False)
+    tr.pre_initialize(scans[0].time - period, seed)
+    # device times are relative to the tracker's internal origin —
+    # any other base shifts the first-scan dt (round-3 timebase bug)
+    t0_base = tr.t0
     zb = np.zeros((N_SCANS, M, 2), np.float32)
     mb = np.zeros((N_SCANS, M), bool)
     tb = np.zeros((N_SCANS,), np.float32)
@@ -68,11 +75,6 @@ def build():
     ais_dev = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (N_SCANS,) + x.shape),
         empty_ais(shapes))
-    F_inv = np.eye(4)
-    F_inv[0, 2] = F_inv[1, 3] = -period
-    seed = [F_inv @ t.state for t in targets]
-    tr = Tracker(shapes, params, use_ais=False)
-    tr.pre_initialize(scans[0].time - period, seed)
     return shapes, params, tr, scans_dev, ais_dev
 
 
