@@ -312,6 +312,57 @@ class Tracker:
                         mmsi=jnp.asarray(mm), high_accuracy=jnp.asarray(hi),
                         mask=jnp.asarray(mask))
 
+    def make_stream_inputs(self, scans, ais_groups=None):
+        """Build device-resident streaming inputs for ``scan_many``.
+
+        ``scans``: iterable of objects with ``.time`` (absolute) and
+        ``.measurements`` [n, 2]; ``ais_groups``: optional per-scan
+        lists of AIS messages.  Returns (Scan, AisBatch) pytrees with a
+        leading scan axis, with all times converted to the tracker's
+        internal origin (``self.t0``) — hand-building these with any
+        other base shifts the first-scan dt and silently breaks
+        pre-initialized tracks (round-3 streaming-bench bug; see
+        tests/test_tracker_e2e.py::test_streaming_timebase_*).
+
+        Call after ``pre_initialize`` (or pass the first scan so the
+        origin is established from it).
+        """
+        scans = list(scans)
+        if self.t0 is None:
+            self.t0 = float(scans[0].time) - self.params.radar_period
+        n = len(scans)
+        M = self.shapes.max_meas
+        A = self.shapes.max_ais
+        zb = np.zeros((n, M, 2), np.float32)
+        mb = np.zeros((n, M), bool)
+        tb = np.zeros((n,), np.float32)
+        a_st = np.zeros((n, A, 4), np.float32)
+        a_tm = np.zeros((n, A), np.float32)
+        a_mm = np.zeros((n, A), np.int32)
+        a_hi = np.zeros((n, A), bool)
+        a_mk = np.zeros((n, A), bool)
+        for i, s in enumerate(scans):
+            z = np.asarray(s.measurements, np.float32).reshape(-1, 2)
+            k = min(len(z), M)
+            zb[i, :k] = z[:k]
+            mb[i, :k] = True
+            tb[i] = float(s.time) - self.t0
+            group = (ais_groups[i] if ais_groups is not None
+                     and i < len(ais_groups) else [])
+            for j, m in enumerate(group[:A]):
+                a_st[i, j] = np.asarray(m.state, np.float32)
+                a_tm[i, j] = float(m.time) - self.t0
+                a_mm[i, j] = int(m.mmsi)
+                a_hi[i, j] = bool(getattr(m, 'highAccuracy', False))
+                a_mk[i, j] = True
+        scan_b = Scan(z=jnp.asarray(zb), mask=jnp.asarray(mb),
+                      time=jnp.asarray(tb))
+        ais_b = AisBatch(state=jnp.asarray(a_st), time=jnp.asarray(a_tm),
+                         mmsi=jnp.asarray(a_mm),
+                         high_accuracy=jnp.asarray(a_hi),
+                         mask=jnp.asarray(a_mk))
+        return scan_b, ais_b
+
     def pre_initialize(self, t, states, mmsi=None):
         """Seed confirmed targets from known initial states (reference
         preInitialize, tracker.py:139-145)."""

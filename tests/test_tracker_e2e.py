@@ -135,3 +135,34 @@ def test_streaming_timebase_keeps_fast_preinit_targets():
     # every scan associates a real measurement (label > 0), no misses
     labels = np.asarray(outs.sel_hist_meas)[:, :3, -1]
     assert (labels > 0).all(), labels
+
+
+def test_make_stream_inputs_matches_manual_timebase():
+    """Tracker.make_stream_inputs builds scan_many inputs with the
+    correct tracker.t0-relative times (and pads/masks correctly)."""
+    from types import SimpleNamespace
+    from pymht_tpu.core.tracker import Tracker
+
+    shapes = TrackerShapes(max_targets=4, max_leaves=4, max_meas=4,
+                           max_ais=2, window=4, max_prelim=4,
+                           max_initiators=4)
+    params = TrackerParams(radar_period=2.0, P_d=0.9)
+    tracker = Tracker(shapes, params, use_ais=True)
+    tracker.pre_initialize(48.0, [np.zeros(4, np.float32)])
+    scans = [SimpleNamespace(time=50.0 + 2.0 * k,
+                             measurements=np.full((k + 1, 2), k,
+                                                  np.float32))
+             for k in range(3)]
+    msgs = [[SimpleNamespace(state=np.ones(4, np.float32),
+                             time=49.5 + 2.0 * k, mmsi=7,
+                             highAccuracy=True)] for k in range(3)]
+    sc, ab = tracker.make_stream_inputs(scans, msgs)
+    np.testing.assert_allclose(np.asarray(sc.time),
+                               [50.0 - tracker.t0, 52.0 - tracker.t0,
+                                54.0 - tracker.t0])
+    assert np.asarray(sc.mask).sum(axis=1).tolist() == [1, 2, 3]
+    np.testing.assert_allclose(np.asarray(ab.time)[:, 0],
+                               [49.5 - tracker.t0, 51.5 - tracker.t0,
+                                53.5 - tracker.t0])
+    assert np.asarray(ab.mask)[:, 0].all()
+    assert int(np.asarray(ab.mmsi)[0, 0]) == 7
