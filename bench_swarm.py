@@ -114,6 +114,26 @@ def main():
     rel = np.median(gaps / np.maximum(1.0, np.abs(np.asarray(outs.sel_bound))))
     n_alive = int(np.asarray(outs.track_mask)[-1].sum())
 
+    # Streaming quality vs ground truth: per scan, match each truth
+    # target to its nearest selected-track estimate (20 m gate, the
+    # metrics-module convention) and accumulate coverage + rms.
+    track_x = np.asarray(outs.track_x)                    # [S, T, 4]
+    track_ok = np.asarray(outs.track_mask)                # [S, T]
+    truth = np.array([[t.cartesian_state() for t in sample]
+                      for sample in sim_list[:N_SCANS]])  # [S, K, 4]
+    matched, sq = 0, []
+    for i in range(min(N_SCANS, truth.shape[0])):
+        tp = track_x[i][track_ok[i]][:, :2]
+        if not len(tp):
+            continue
+        d = np.linalg.norm(truth[i][:, None, :2] - tp[None, :, :], axis=2)
+        dmin = d.min(axis=1)
+        hit = dmin < 20.0
+        matched += int(hit.sum())
+        sq.extend((dmin[hit] ** 2).tolist())
+    coverage = matched / float(truth.shape[0] * truth.shape[1])
+    rms = float(np.sqrt(np.mean(sq))) if sq else float('nan')
+
     print(json.dumps({
         "metric": "ms_per_scan_1000tgt_ais_swarm",
         "value": round(ms, 3),
@@ -124,6 +144,8 @@ def main():
         "mean_meas_per_scan": round(float(np.mean(n_meas)), 1),
         "mean_ais_per_scan": round(float(np.mean(n_msgs)), 1),
         "median_dual_gap": round(float(rel), 6),
+        "truth_coverage": round(coverage, 4),
+        "rms_matched_m": round(rms, 3),
         "hardware": "1x v5e (axon tunnel), device-resident streaming",
     }))
 
