@@ -34,16 +34,21 @@ from pymht_tpu.utils import simulator as sim
 N_TARGETS = int(os.environ.get("BENCH_TARGETS", "100"))
 N_SCANS = int(os.environ.get("BENCH_SCANS", "12"))
 BENCH_MEAS = int(os.environ.get("BENCH_MEAS", "512"))
+SLOT_TARGETS = int(os.environ.get("BENCH_SLOT_TARGETS", "128"))
+BENCH_LEAVES = int(os.environ.get("BENCH_LEAVES", "32"))
+BENCH_RANGE = float(os.environ.get("BENCH_RANGE", "2000.0"))
+BENCH_CLUTTER = float(os.environ.get("BENCH_CLUTTER", "2e-5"))
 
 
 def build():
     period = 2.5
-    radar_range = 2000.0
+    radar_range = BENCH_RANGE
     shapes = TrackerShapes(
-        max_targets=128, max_leaves=32, max_meas=BENCH_MEAS, max_ais=8,
-        window=7, max_prelim=64, max_initiators=BENCH_MEAS)
+        max_targets=SLOT_TARGETS, max_leaves=BENCH_LEAVES,
+        max_meas=BENCH_MEAS, max_ais=8,
+        window=7, max_prelim=64, max_initiators=min(BENCH_MEAS, 512))
     params = TrackerParams(radar_period=period, P_d=0.9,
-                           lambda_phi=2e-5, lambda_nu=1e-5, N=5,
+                           lambda_phi=BENCH_CLUTTER, lambda_nu=1e-5, N=5,
                            radar_range=radar_range)
     rng = np.random.default_rng(1234)
     targets = sim.generate_initial_targets(
@@ -51,7 +56,8 @@ def build():
     sim_list = sim.simulate_targets(rng, targets,
                                     sim_time=N_SCANS * period, dt=period)
     scans = sim.simulate_scans(rng, sim_list, period, sigma_R=2.5,
-                               lambda_phi=2e-5, radar_range=radar_range,
+                               lambda_phi=BENCH_CLUTTER,
+                               radar_range=radar_range,
                                p0=(0.0, 0.0), lambda_local=0.5)
     M = shapes.max_meas
     F_inv = np.eye(4)
