@@ -38,6 +38,9 @@ SLOT_TARGETS = int(os.environ.get("BENCH_SLOT_TARGETS", "128"))
 BENCH_LEAVES = int(os.environ.get("BENCH_LEAVES", "32"))
 BENCH_RANGE = float(os.environ.get("BENCH_RANGE", "2000.0"))
 BENCH_CLUTTER = float(os.environ.get("BENCH_CLUTTER", "2e-5"))
+BENCH_WINDOW = int(os.environ.get("BENCH_WINDOW", "7"))
+BENCH_N = int(os.environ.get("BENCH_N", "5"))
+BENCH_LOCAL = float(os.environ.get("BENCH_LOCAL", "0.5"))
 
 
 def build():
@@ -46,9 +49,10 @@ def build():
     shapes = TrackerShapes(
         max_targets=SLOT_TARGETS, max_leaves=BENCH_LEAVES,
         max_meas=BENCH_MEAS, max_ais=8,
-        window=7, max_prelim=64, max_initiators=min(BENCH_MEAS, 512))
+        window=BENCH_WINDOW, max_prelim=64,
+        max_initiators=min(BENCH_MEAS, 512))
     params = TrackerParams(radar_period=period, P_d=0.9,
-                           lambda_phi=BENCH_CLUTTER, lambda_nu=1e-5, N=5,
+                           lambda_phi=BENCH_CLUTTER, lambda_nu=1e-5, N=BENCH_N,
                            radar_range=radar_range)
     rng = np.random.default_rng(1234)
     targets = sim.generate_initial_targets(
@@ -58,7 +62,7 @@ def build():
     scans = sim.simulate_scans(rng, sim_list, period, sigma_R=2.5,
                                lambda_phi=BENCH_CLUTTER,
                                radar_range=radar_range,
-                               p0=(0.0, 0.0), lambda_local=0.5)
+                               p0=(0.0, 0.0), lambda_local=BENCH_LOCAL)
     M = shapes.max_meas
     F_inv = np.eye(4)
     F_inv[0, 2] = F_inv[1, 3] = -period
