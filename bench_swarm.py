@@ -27,6 +27,7 @@ N_TARGETS = int(os.environ.get("SWARM_TARGETS", "1000"))
 N_SCANS = int(os.environ.get("SWARM_SCANS", "8"))
 M_CAP = int(os.environ.get("SWARM_MEAS", "2048"))
 A_CAP = int(os.environ.get("SWARM_AIS", "128"))
+USE_AIS = os.environ.get("SWARM_USE_AIS", "1") == "1"
 
 
 def main():
@@ -62,7 +63,8 @@ def main():
     M = shapes.max_meas
     F_inv = np.eye(4)
     F_inv[0, 2] = F_inv[1, 3] = -period
-    tracker = Tracker(shapes, params, method='lagrangian', use_ais=True)
+    tracker = Tracker(shapes, params, method='lagrangian',
+                      use_ais=USE_AIS)
     tracker.pre_initialize(scans[0].time - period,
                            [F_inv @ t.state for t in targets],
                            mmsi=[t.mmsi for t in targets])
@@ -99,7 +101,8 @@ def main():
                        mask=jnp.asarray(ais_mk))
 
     run = jax.jit(lambda st, ist, sc, a: scan_many(
-        st, ist, sc, a, shapes, params, method='lagrangian', use_ais=True))
+        st, ist, sc, a, shapes, params, method='lagrangian',
+        use_ais=USE_AIS))
     out = run(tracker.state, tracker.init_state, scans_dev, ais_dev)
     jax.block_until_ready(out)
     reps = []
