@@ -259,6 +259,7 @@ def grow(state: TrackerState,
         P_bar = P_bar_f.reshape(T, L, 4, 4)
         _, S, _, K, P_hat = k.precalc(C, R, x_bar, P_bar)
         gate = cand_scores[:, :, 1:] < BIG * 0.5
+        zero_score = cand_scores[:, :, 0]                        # [T,L]
     else:
         from ..ops.ais_fused import radar_candidates_planes
         (x_bar, P_bar, K, P_hat, gate, nllr_m) = radar_candidates_planes(
@@ -334,7 +335,13 @@ def grow(state: TrackerState,
     beam_pos = jnp.argmax(top_idx == zcand[:, None], axis=1)         # [T]
     in_beam = jnp.any(top_idx == zcand[:, None], axis=1)
     force = has_zero & ~in_beam
-    zscore = cand_scores[jnp.arange(T), zero_parent, 0]              # slot 0
+    # Read the zero-hypothesis score from the SMALL [T,L] plane, never
+    # by indexing the concatenated [T,L,1+M] score tensor: a gather on
+    # the concat forces XLA to materialise it AND breaks the fusion of
+    # the candidate chain into the top_k input — measured round 3 as the
+    # difference between 6.8 and 53.7 ms/scan grow at swarm shapes
+    # (tools/bisect_grow.py; ~28x on CPU at bench shapes).
+    zscore = zero_score[jnp.arange(T), zero_parent]
     top_idx = top_idx.at[:, L - 1].set(
         jnp.where(force, zcand, top_idx[:, L - 1]))
     top_scores = top_scores.at[:, L - 1].set(
