@@ -94,7 +94,7 @@ def _radar_candidates_einsum(state, scan, params, A_mat, Q_mat, C, R):
     return x_bar, P_bar, z_hat, S, K, P_hat, zt, nis, gate, nllr_m
 
 
-def _ais_candidates(state, scan, ais, params, G=None):
+def _ais_candidates(state, scan, ais, params, G=None, n_targets=None):
     """Two-stage AIS+radar fusion candidates (tracker.py:417-552).
 
     Production path: the scalar-plane formulation in ops.ais_fused
@@ -105,7 +105,8 @@ def _ais_candidates(state, scan, ais, params, G=None):
     T, L = state.leaf_mask.shape
     A = ais.mask.shape[0]
     G = A if G is None else min(max(G, 1), A)
-    return ais_candidates_planes(state, scan, ais, params, G)
+    return ais_candidates_planes(state, scan, ais, params, G,
+                                 n_targets=n_targets)
 
 
 def _ais_candidates_einsum(state, scan, ais, params, G=None):
@@ -221,8 +222,13 @@ def grow(state: TrackerState,
          ais: Optional[AisBatch],
          shapes: TrackerShapes,
          params: TrackerParams,
-         use_gate_kernel: Optional[bool] = None) -> GrowOutputs:
-    """Advance every target's hypothesis forest by one scan."""
+         use_gate_kernel: Optional[bool] = None,
+         n_targets_global: Optional[jnp.ndarray] = None) -> GrowOutputs:
+    """Advance every target's hypothesis forest by one scan.
+
+    ``n_targets_global``: global live-target count for the AIS
+    association density when the target axis is sharded (the local
+    mask sum under-counts); None = local count."""
     T, L, W = state.hist_meas.shape
     M = shapes.max_meas
 
@@ -283,7 +289,7 @@ def grow(state: TrackerState,
         G = min(shapes.ais_fuse_width, shapes.max_ais)
         (g_ok, gate2, pure_gate, nllr1g, fused_score,
          x_bar2, z_hat2, K2g, P_ais_hat, ais_idx) = _ais_candidates(
-            state, scan, ais, params, G=G)
+            state, scan, ais, params, G=G, n_targets=n_targets_global)
         pure_score = jnp.where(pure_gate,
                                state.leaf_cnllr[:, :, None] + nllr1g, BIG)  # [T,L,G]
         fused = jnp.where(gate2,
@@ -318,8 +324,17 @@ def grow(state: TrackerState,
         top_idx = jnp.take_along_axis(glob_m, pos, axis=1)
         top_scores = -neg_top                                        # [T,L]
     else:
-        top_scores, top_idx = jax.lax.top_k(-flat_radar, L)
-        top_scores = -top_scores                                     # [T,L] ascending
+        neg_r, top_idx = jax.lax.top_k(-flat_radar, L)
+        top_scores = -neg_r                                          # [T,L] ascending
+    # Fusion firewall (round-4 fix of the radar-only swarm anomaly):
+    # when the big top_k's outputs are consumed directly by the beam
+    # tail, XLA's scheduler makes a catastrophic choice at swarm shapes
+    # (T=1024, M=2048: radar-only grow ran 8x slower than AIS-on grow,
+    # whose merge top_k incidentally provided this barrier).  Forcing
+    # materialisation of the [T,L] beam here costs nothing and pins the
+    # fast schedule for both branches (tools/bisect_swarm.py).
+    top_scores, top_idx = jax.lax.optimization_barrier(
+        (top_scores, top_idx))
 
     # Guaranteed feasibility spine: the reference's tree always contains
     # a zero-hypothesis child of every node (pyTarget.py:319-328), which
