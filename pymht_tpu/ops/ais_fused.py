@@ -129,10 +129,15 @@ def _quad4(inv, zt):
     return acc
 
 
-def ais_candidates_planes(state, scan, ais, params, G):
+def ais_candidates_planes(state, scan, ais, params, G, n_targets=None):
     """Drop-in replacement for grow._ais_candidates (same return tuple).
 
     state: TrackerState; scan: Scan; ais: AisBatch; G: compressed width.
+    ``n_targets`` overrides the live-target count entering the AIS
+    association density lambda_ais — REQUIRED under target sharding,
+    where the local ``sum(tgt_mask)`` is only this shard's count and
+    would bias every AIS association score by log(global/local)
+    (sharded_tracker.py psums it).  Default: local count (single-chip).
     Returns (g_ok, gate2, pure_gate, nllr1g, fused_score,
              x_bar2, z_hat2, K2, P_hat2, ais_idx).
     """
@@ -225,7 +230,8 @@ def ais_candidates_planes(state, scan, ais, params, G):
             ph[(i, j)] = pbg[(i, j)] - sum(pbg[(i, k)] * w[(k, j)]
                                            for k in range(4))
 
-    n_targets = jnp.sum(state.tgt_mask.astype(jnp.float32))
+    if n_targets is None:
+        n_targets = jnp.sum(state.tgt_mask.astype(jnp.float32))
     radar_range = (params.radar_range
                    if math.isfinite(params.radar_range) else 1e4)
     lambda_ais = (n_targets * params.P_ais) / (jnp.pi * radar_range ** 2)

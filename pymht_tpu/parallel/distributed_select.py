@@ -140,7 +140,8 @@ def distributed_lagrangian(state, shapes: TrackerShapes,
             cond, body,
             (sel,
              # banned is shard-varying (tracks local targets)
-             jax.lax.pvary(jnp.zeros((T, L), bool), (axis_name,)),
+             jax.lax.pcast(jnp.zeros((T, L), bool), (axis_name,),
+                           to='varying'),
              jnp.asarray(0), jnp.asarray(True)))
         cnt = usage_of(sel)
         return sel, ~jnp.any(cnt > 1.5)
@@ -202,7 +203,7 @@ def make_distributed_select(mesh: Mesh, shapes: TrackerShapes,
                             params: TrackerParams, axis_name: str = 'cluster',
                             iters: int = 60):
     """jitted shard_map wrapper: TrackerState sharded on the target axis."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def spec_of(x):
         if x.ndim >= 1 and x.shape[0] == shapes.max_targets:

@@ -44,8 +44,15 @@ def sharded_scan_step(state, init_state, scan: Scan, ais,
     my_shard = jax.lax.axis_index(axis_name)
     n_shards = jax.lax.axis_size(axis_name)
 
-    # 1. grow (target-parallel, no collectives)
-    g = grow(state, scan, ais if use_ais else None, shapes, params)
+    # 1. grow (target-parallel up to ONE pre-collective: the AIS
+    # association density lambda_ais depends on the GLOBAL live-target
+    # count — the local mask sum would bias every AIS score by
+    # log(global/local), a divergence invisible at toy shapes but worth
+    # ~3% of the selection objective at swarm scale)
+    n_tgt_global = jax.lax.psum(
+        jnp.sum(state.tgt_mask.astype(jnp.float32)), axis_name)
+    g = grow(state, scan, ais if use_ais else None, shapes, params,
+             n_targets_global=n_tgt_global if use_ais else None)
     state = g.state
     used_meas = jax.lax.psum(g.used_meas.astype(jnp.int32), axis_name) > 0
 
@@ -125,7 +132,7 @@ def make_sharded_tracker_step(mesh: Mesh, shapes: TrackerShapes,
     inputs are replicated.  Track ids assigned by round-robin insertion
     come from the replicated global rank, so they are globally unique.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_shards = mesh.shape[axis_name]
     assert shapes.max_targets % n_shards == 0
