@@ -77,6 +77,7 @@ def scan_step(state: TrackerState,
               ais_initialization: bool = True,
               prune_similar: bool = False,
               compute_clusters: bool = True,
+              dynamic_window: bool = False,
               select_kw: Optional[dict] = None):
     """One radar scan through the full pipeline (pure, jittable)."""
     T, L, W = state.hist_meas.shape
@@ -144,6 +145,36 @@ def scan_step(state: TrackerState,
                            new_mmsi, scan.time, params)
     inserted = state.tgt_mask & ~prev_mask
 
+    # 9. on-device dynamic window (graceful degradation for the
+    # device-resident streaming path; reference __dynamicWindow,
+    # tracker.py:918-950).  Two of the reference's triggers run here —
+    # the host wall-clock roof stays in Tracker._dynamic_window (time
+    # does not exist inside a compiled step):
+    #   * beam saturation: a target whose beam is STILL full after
+    #     N-scan pruning is over budget in hypothesis capacity;
+    #   * growth-cost share: the reference shrinks a target whose grow
+    #     TIME exceeds maxTargetGrowTime (200 ms); its share-based
+    #     analogue fires when a target's gated-pair work exceeds
+    #     max_target_time/radar_period of the scan total AND its beam is
+    #     at least half full (the absolute anchor real time provided).
+    # NOTE: shapes are static, so shrinking the window changes no FLOPs
+    # — it narrows the surviving hypothesis set (more aggressive
+    # N-scan pruning), which is what bounds ambiguity growth under
+    # overload, exactly the reference's intent.
+    if dynamic_window:
+        lc = jnp.sum(state.leaf_mask.astype(jnp.int32), axis=1)      # [T]
+        sat = state.tgt_mask & (lc >= L)
+        proxy = lc.astype(jnp.float32) * (
+            1.0 + g.gated_counts.astype(jnp.float32))
+        total = jnp.sum(jnp.where(state.tgt_mask, proxy, 0.0))
+        share = params.max_target_time / params.radar_period
+        over = (state.tgt_mask & (lc >= L // 2)
+                & (proxy > share * jnp.maximum(total, 1.0)))
+        shrink = (sat | over) & ~inserted
+        tw = jnp.where(shrink, jnp.maximum(state.tgt_window - 1, 1),
+                       state.tgt_window)
+        state = state.replace(tgt_window=tw)
+
     outputs = StepOutputs(
         track_mask=track_mask, track_id=track_id, track_x=track_x,  # noqa: E126
         track_cnllr=track_cnllr,
@@ -189,6 +220,7 @@ def scan_many(state, init_state, scans: Scan, ais: AisBatch,
               method: str = 'lagrangian', use_ais: bool = True,
               ais_initialization: bool = True,
               compute_clusters: bool = False,
+              dynamic_window: bool = False,
               select_kw: Optional[dict] = None):
     """Process a pre-uploaded batch of scans in ONE dispatch via
     lax.scan (device-resident streaming: the production pattern where
@@ -204,6 +236,7 @@ def scan_many(state, init_state, scans: Scan, ais: AisBatch,
                                  method=method, use_ais=use_ais,
                                  ais_initialization=ais_initialization,
                                  compute_clusters=compute_clusters,
+                                 dynamic_window=dynamic_window,
                                  select_kw=select_kw)
         return (st, ist), out
 
@@ -333,6 +366,7 @@ class Tracker:
         n = len(scans)
         M = self.shapes.max_meas
         A = self.shapes.max_ais
+        n_z_over = n_ais_over = 0
         zb = np.zeros((n, M, 2), np.float32)
         mb = np.zeros((n, M), bool)
         tb = np.zeros((n,), np.float32)
@@ -344,17 +378,28 @@ class Tracker:
         for i, s in enumerate(scans):
             z = np.asarray(s.measurements, np.float32).reshape(-1, 2)
             k = min(len(z), M)
+            n_z_over += max(0, len(z) - M)
             zb[i, :k] = z[:k]
             mb[i, :k] = True
             tb[i] = float(s.time) - self.t0
             group = (ais_groups[i] if ais_groups is not None
                      and i < len(ais_groups) else [])
+            n_ais_over += max(0, len(group) - A)
             for j, m in enumerate(group[:A]):
                 a_st[i, j] = np.asarray(m.state, np.float32)
                 a_tm[i, j] = float(m.time) - self.t0
                 a_mm[i, j] = int(m.mmsi)
                 a_hi[i, j] = bool(getattr(m, 'highAccuracy', False))
                 a_mk[i, j] = True
+        if n_z_over or n_ais_over:
+            # silent shape overflow invisibly skews streaming results —
+            # surface it (advisor round-3 finding)
+            import logging
+            logging.getLogger(__name__).warning(
+                "make_stream_inputs: dropped %d measurements and %d AIS "
+                "messages overflowing static shapes (M=%d, A=%d) across "
+                "%d scans — raise TrackerShapes.max_meas/max_ais",
+                n_z_over, n_ais_over, M, A, n)
         scan_b = Scan(z=jnp.asarray(zb), mask=jnp.asarray(mb),
                       time=jnp.asarray(tb))
         ais_b = AisBatch(state=jnp.asarray(a_st), time=jnp.asarray(a_tm),
