@@ -73,6 +73,39 @@ def save(tracker: Tracker, path: str):
         json.dump(meta, f)
 
 
+def save_state(path: str, state: TrackerState, init_state: InitiatorState):
+    """Snapshot bare device state — the checkpoint primitive for the
+    device-resident streaming mode (between ``scan_many`` dispatches)
+    and for the target-sharded step (arrays gather to host through
+    ``np.asarray`` regardless of their sharding).  Both trees are plain
+    pytrees of concrete arrays, so this is also directly consumable by
+    orbax if a deployment prefers its async/multi-host machinery."""
+    head = os.path.dirname(path)
+    if head and not os.path.isdir(head):
+        os.makedirs(head)
+    arrays = {}
+    arrays.update(_tree_to_dict("state", state))
+    arrays.update(_tree_to_dict("init", init_state))
+    np.savez_compressed(path + ".npz", **arrays)
+
+
+def load_state(path: str, shardings=None):
+    """Restore (TrackerState, InitiatorState) saved by ``save_state``.
+
+    ``shardings``: optional (state_shardings, init_shardings) pytrees of
+    NamedSharding to place the restored arrays back on a mesh (as built
+    by e.g. parallel.sharded_tracker's spec helpers); None leaves them
+    on the default device."""
+    data = np.load(path + ".npz")
+    state = _dict_to_tree("state", TrackerState, data)
+    init = _dict_to_tree("init", InitiatorState, data)
+    if shardings is not None:
+        s_sh, i_sh = shardings
+        state = jax.tree_util.tree_map(jax.device_put, state, s_sh)
+        init = jax.tree_util.tree_map(jax.device_put, init, i_sh)
+    return state, init
+
+
 def load(path: str) -> Tracker:
     with open(path + ".json") as f:
         meta = json.load(f)
