@@ -117,25 +117,66 @@ def main():
     rel = np.median(gaps / np.maximum(1.0, np.abs(np.asarray(outs.sel_bound))))
     n_alive = int(np.asarray(outs.track_mask)[-1].sum())
 
-    # Streaming quality vs ground truth: per scan, match each truth
-    # target to its nearest selected-track estimate (20 m gate, the
-    # metrics-module convention) and accumulate coverage + rms.
+    # Streaming quality vs ground truth: per scan, ONE-TO-ONE match
+    # truth targets to selected-track estimates (20 m gate) via the
+    # Hungarian assignment — nearest-track matching lets a single track
+    # "cover" several nearby truths in a dense swarm, inflating
+    # coverage (advisor round-3 finding).
+    from scipy.optimize import linear_sum_assignment
     track_x = np.asarray(outs.track_x)                    # [S, T, 4]
     track_ok = np.asarray(outs.track_mask)                # [S, T]
     truth = np.array([[t.cartesian_state() for t in sample]
                       for sample in sim_list[:N_SCANS]])  # [S, K, 4]
     matched, sq = 0, []
+    GATE = 20.0
     for i in range(min(N_SCANS, truth.shape[0])):
         tp = track_x[i][track_ok[i]][:, :2]
         if not len(tp):
             continue
         d = np.linalg.norm(truth[i][:, None, :2] - tp[None, :, :], axis=2)
-        dmin = d.min(axis=1)
-        hit = dmin < 20.0
+        cost = np.minimum(d, GATE)      # ungated pairs all cost GATE --
+        # the assignment then never prefers them over a gated pair, and
+        # pairs at cost GATE are discarded below.
+        ri, ci = linear_sum_assignment(cost)
+        dm = d[ri, ci]
+        hit = dm < GATE
         matched += int(hit.sum())
-        sq.extend((dmin[hit] ** 2).tolist())
+        sq.extend((dm[hit] ** 2).tolist())
     coverage = matched / float(truth.shape[0] * truth.shape[1])
     rms = float(np.sqrt(np.mean(sq))) if sq else float('nan')
+
+    # Swarm-scale optimality cross-check (round-3 verdict item 4): the
+    # dual gap above is the solver grading itself.  Capture ONE
+    # swarm-shape forest state post-grow / pre-select (after streaming
+    # the first N-1 scans, growing the last), solve it exactly with the
+    # host HiGHS oracle, and report the device selection's true gap.
+    oracle_gap = None
+    oracle_optimal = None
+    if os.environ.get("SWARM_ORACLE", "1") == "1":
+        from pymht_tpu.core.grow import grow as grow_fn
+        from pymht_tpu.core.select import select as select_fn
+        from pymht_tpu.utils.oracle import milp_select_oracle
+        part = lambda tree, lo, hi: jax.tree_util.tree_map(  # noqa: E731
+            lambda x: x[lo:hi], tree)
+        per = lambda tree, i: jax.tree_util.tree_map(        # noqa: E731
+            lambda x: x[i], tree)
+        stp, istp, _ = jax.jit(lambda st, ist, sc, a: scan_many(
+            st, ist, sc, a, shapes, params, method='lagrangian',
+            use_ais=USE_AIS))(tracker.state, tracker.init_state,
+                              part(scans_dev, 0, N_SCANS - 1),
+                              part(ais_dev, 0, N_SCANS - 1))
+        g = jax.jit(lambda st, sc, a: grow_fn(
+            st, sc, a if USE_AIS else None, shapes, params))(
+            stp, per(scans_dev, N_SCANS - 1), per(ais_dev, N_SCANS - 1))
+        res = jax.jit(lambda st: select_fn(
+            st, shapes, params, method='lagrangian',
+            compute_clusters=False))(g.state)
+        obj_dev = float(res.obj)
+        limit = float(os.environ.get("SWARM_ORACLE_LIMIT", "900"))
+        _, obj_o, oracle_optimal = milp_select_oracle(
+            g.state, shapes, params, time_limit=limit)
+        if np.isfinite(obj_o):
+            oracle_gap = (obj_dev - obj_o) / max(1.0, abs(obj_o))
 
     print(json.dumps({
         "metric": "ms_per_scan_1000tgt_ais_swarm",
@@ -147,6 +188,9 @@ def main():
         "mean_meas_per_scan": round(float(np.mean(n_meas)), 1),
         "mean_ais_per_scan": round(float(np.mean(n_msgs)), 1),
         "median_dual_gap": round(float(rel), 6),
+        "opt_gap_vs_exact_oracle": (round(oracle_gap, 6)
+                                    if oracle_gap is not None else None),
+        "oracle_proven_optimal": oracle_optimal,
         "truth_coverage": round(coverage, 4),
         "rms_matched_m": round(rms, 3),
         "hardware": "1x v5e (axon tunnel), device-resident streaming",
