@@ -23,13 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 FULL = os.environ.get("EVAL_SCALE", "small") == "full"
 
 
-def run_config(name, n_targets, clutter, P_d, N, shapes_kw, n_scans=16,
-               radar_range=1000.0, use_ais=False, seed=7,
-               method='lagrangian'):
-    from pymht_tpu import Tracker, TrackerShapes, TrackerParams
+def build_scene(n_targets, clutter, P_d, N, shapes_kw, n_scans=16,
+                radar_range=1000.0, use_ais=False, seed=7):
+    """Deterministic scenario + config for one eval family.  Shared by
+    run_config and tests/test_eval_parity.py so the device tracker and
+    the reference-decision oracle see the SAME scans/AIS messages."""
+    from pymht_tpu import TrackerShapes, TrackerParams
     from pymht_tpu.utils import simulator as sim
-    from pymht_tpu.utils.ais_io import AisMessageStream
-    from pymht_tpu.utils.metrics import evaluate
 
     period = 2.5
     shapes = TrackerShapes(**shapes_kw)
@@ -47,9 +47,23 @@ def run_config(name, n_targets, clutter, P_d, N, shapes_kw, n_scans=16,
                                p0=(0., 0.), P_d=P_d,
                                local_clutter=clutter > 0,
                                global_clutter=clutter > 0)
-    stream = AisMessageStream(
-        sim.simulate_ais(rng, sim_list, period, sim_list[0][0].time)
-        if use_ais else [])
+    ais_groups = (sim.simulate_ais(rng, sim_list, period,
+                                   sim_list[0][0].time) if use_ais else [])
+    return shapes, params, sim_list, scans, ais_groups
+
+
+def run_config(name, n_targets, clutter, P_d, N, shapes_kw, n_scans=16,
+               radar_range=1000.0, use_ais=False, seed=7,
+               method='lagrangian'):
+    from pymht_tpu import Tracker
+    from pymht_tpu.utils.ais_io import AisMessageStream
+    from pymht_tpu.utils.metrics import evaluate
+
+    period = 2.5
+    shapes, params, sim_list, scans, ais_groups = build_scene(
+        n_targets, clutter, P_d, N, shapes_kw, n_scans=n_scans,
+        radar_range=radar_range, use_ais=use_ais, seed=seed)
+    stream = AisMessageStream(ais_groups)
 
     # Production selection path by default (round-2 verdict item 4:
     # eval timings must describe the production solver; 'ipm' remains
@@ -115,7 +129,11 @@ def main():
         run_config("3_50tgt_dense", 50 if FULL else 24, 4e-6, 0.9, 3, big,
                    radar_range=2000.0),
         run_montecarlo("4_mc_batch", 64 if FULL else 8, 4),
-        run_config("5_ais_swarm", 12, 1e-6, 0.9, 4, small, use_ais=True,
+        # max_ais sized to the scenario's peak AIS rate (12 msgs/scan):
+        # an undersized static cap silently drops messages (round-4
+        # parity finding — A=4 cost ~0.25 of track_percent here)
+        run_config("5_ais_swarm", 12, 1e-6, 0.9, 4,
+                   dict(small, max_ais=16), use_ais=True,
                    radar_range=1500.0),
         # dense-IPM cross-check of the production path on config 2
         run_config("2_ipm_xcheck", 10, 2e-6, 0.9, 5, small, method='ipm'),

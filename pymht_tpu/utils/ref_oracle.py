@@ -320,6 +320,13 @@ class RefOracle:
         self.do_terminate = terminate
         self.ais_initialization = ais_initialization
         self.events = []           # ('confirm'|'kill', scan_idx, id, x)
+        # Confirmed-history archive for eval-scale metrics parity
+        # (round-3 verdict item 5): nodes record to archive[id] exactly
+        # once, when they leave the N-scan window (root advance), on
+        # kill, or at finalize() for the live window.
+        self.scan_times = []       # absolute time of scan k (index k-1)
+        self.archive = {}          # id -> list[(scan_idx, meas, mmsi, x)]
+        self._recorded = set()     # id(Node) already archived
         p = params
         self.initiator = RefInitiator(
             M=p.M_required, N=p.N_checks, v_max=p.max_speed,
@@ -540,9 +547,18 @@ class RefOracle:
         for t, why in reversed(dead):
             self.events.append(('kill', self.scan_idx, self.track_ids[t],
                                 self.sel[t].x.copy(), why))
+            self._archive_nodes(self.track_ids[t], self.sel[t].path())
             del self.roots[t]
             del self.sel[t]
             del self.track_ids[t]
+
+    def _archive_nodes(self, tid, nodes):
+        lst = self.archive.setdefault(tid, [])
+        for n in nodes:
+            if id(n) in self._recorded:
+                continue
+            self._recorded.add(id(n))
+            lst.append((n.scan, n.meas, n.mmsi, n.x.copy()))
 
     # -- N-scan prune (tracker.py:1229-1231, pyTarget.py:343-356) ------
     def _prune(self):
@@ -550,7 +566,10 @@ class RefOracle:
         for t, leaf in enumerate(self.sel):
             path = leaf.path()
             if len(path) - 1 > N:
-                new_root = path[len(path) - 1 - N]
+                cut = len(path) - 1 - N
+                new_root = path[cut]
+                # columns leaving the window are confirmed history
+                self._archive_nodes(self.track_ids[t], path[:cut])
                 new_root.parent = None
                 self.roots[t] = new_root
 
@@ -596,6 +615,7 @@ class RefOracle:
                        else 1e4)
         lambda_ais = (len(self.roots) * p.P_ais
                       / (np.pi * radar_range ** 2))
+        self.scan_times.append(float(t))
         used_radar, used_mmsi = set(), set()
         for root in self.roots:
             used_mmsi |= self._grow_target(root, z, dt, ais_msgs,
@@ -637,3 +657,43 @@ class RefOracle:
                    for n, lab in zip(tail, use)):
                 best = leaf.cnllr if best is None else min(best, leaf.cnllr)
         return best
+
+    def finalize(self):
+        """Flush the live windows into the archive (call once, after the
+        last scan) so ``sequences`` covers every scan."""
+        for t, leaf in enumerate(self.sel):
+            self._archive_nodes(self.track_ids[t], leaf.path())
+
+    def sequences(self):
+        """{track_id: (times, labels, states, mmsi)} over absolute scan
+        times — the device Tracker's _track_measurement_sequences
+        vocabulary, so utils.metrics.evaluate can score the oracle run
+        directly (via MetricsAdapter)."""
+        out = {}
+        for tid, rows in self.archive.items():
+            rows = sorted(rows, key=lambda r: r[0])
+            times, labels, states, mmsi = [], [], [], []
+            for scan, meas, mm, x in rows:
+                if scan < 1:
+                    continue        # pre-initialized root, before scan 1
+                times.append(self.scan_times[scan - 1])
+                labels.append(meas)
+                states.append(x)
+                mmsi.append(mm)
+            if times:
+                out[tid] = (times, labels, states, mmsi)
+        return out
+
+
+class MetricsAdapter:
+    """Duck-types the two attributes utils.metrics.evaluate reads
+    (``_track_measurement_sequences`` and ``t0``) over a finished
+    RefOracle run, so device and oracle are scored by the same code."""
+
+    def __init__(self, oracle: 'RefOracle'):
+        oracle.finalize()
+        self._seqs = oracle.sequences()
+        self.t0 = 0.0               # oracle times are already absolute
+
+    def _track_measurement_sequences(self, include_terminated=False):
+        return self._seqs

@@ -32,8 +32,9 @@ def test_config1_crossing_quality(eval_mod):
                  window=7, max_prelim=16, max_initiators=64)
     m = eval_mod.run_config("1_crossing", 2, 0.0, 1.0, 5, small,
                             radar_range=2000.0)
-    assert m['track_percent'] >= 0.70, m
-    assert m['rms'] <= 3.5, m
+    # pinned to round-3 measured 0.765 / 2.83 minus ~5% (verdict item 5)
+    assert m['track_percent'] >= 0.72, m
+    assert m['rms'] <= 3.1, m
     assert m['n_false_tracks'] == 0, m
     assert m['track_loss'] == 0.0, m
     assert m['median_gap'] <= 1e-3, m
@@ -43,8 +44,9 @@ def test_config2_clutter_quality_and_ipm_crosscheck(eval_mod):
     small = dict(max_targets=16, max_leaves=32, max_meas=64, max_ais=4,
                  window=7, max_prelim=16, max_initiators=64)
     m = eval_mod.run_config("2_10tgt_clutter", 10, 2e-6, 0.9, 5, small)
-    assert m['track_percent'] >= 0.60, m
-    assert m['rms'] <= 6.0, m
+    # pinned to round-3 measured 0.665 / 4.96 minus ~5% (verdict item 5)
+    assert m['track_percent'] >= 0.63, m
+    assert m['rms'] <= 5.4, m
     assert m['n_false_tracks'] <= 2, m
     assert m['track_loss'] == 0.0, m
     # production lagrangian must match the dense-IPM debug path
@@ -57,9 +59,14 @@ def test_config2_clutter_quality_and_ipm_crosscheck(eval_mod):
 def test_config5_ais_swarm_quality(eval_mod):
     small = dict(max_targets=16, max_leaves=32, max_meas=64, max_ais=4,
                  window=7, max_prelim=16, max_initiators=64)
-    m = eval_mod.run_config("5_ais_swarm", 12, 1e-6, 0.9, 4, small,
+    # max_ais sized to the scenario's peak AIS rate (12 msgs/scan) —
+    # an undersized static cap silently drops messages (round-4 parity
+    # finding: A=4 cost ~0.06 track_percent and 2 whole tracks here)
+    m = eval_mod.run_config("5_ais_swarm", 12, 1e-6, 0.9, 4,
+                            dict(small, max_ais=16),
                             use_ais=True, radar_range=1500.0)
-    assert m['track_percent'] >= 0.65, m
-    assert m['rms'] <= 5.0, m
+    # pinned to round-4 measured 0.784 / 3.85 minus ~5%
+    assert m['track_percent'] >= 0.74, m
+    assert m['rms'] <= 4.1, m
     assert m['track_loss'] == 0.0, m
     assert m['n_false_tracks'] <= 1, m
