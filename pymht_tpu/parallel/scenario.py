@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.config import TrackerShapes, TrackerParams
-from ..core.state import TrackerState, empty_state
+from ..core.state import TrackerState, empty_state, \
+    insert_targets as insert_targets_
 from ..core import initiator as initiator_mod
 from ..core.grow import Scan, AisBatch, empty_ais
 from ..core.tracker import scan_step
@@ -85,6 +86,59 @@ def make_sharded_step(mesh: Mesh, shapes: TrackerShapes,
         return step(state_b, istate_b, scan_b, ais_b)
 
     return sharded_step, in_shardings
+
+
+def dryrun_swarm_cluster(n_devices: int):
+    """Compile + execute ONE full tracker scan with the target axis
+    sharded over ALL n devices at swarm-like shapes (T=1024 slots, 600
+    live targets, AIS fusion on) — the configuration the swarm headline
+    uses, so the driver's multi-chip check exercises the real program
+    (round-3 verdict item 2b).  M/A are scaled to 512/32 to keep the
+    CPU compile budget sane; the sharded axis and the psum'd dual
+    vector are production-shaped."""
+    from .sharded_tracker import make_sharded_tracker_step
+    from ..models import pv
+
+    devices = np.array(jax.devices()[:n_devices])
+    mesh = Mesh(devices, ('cluster',))
+    shapes = TrackerShapes(max_targets=1024, max_leaves=8, max_meas=512,
+                           max_ais=32, window=5, max_prelim=32,
+                           max_initiators=64, ais_per_leaf=2)
+    params = TrackerParams(radar_period=2.5, P_d=0.9, lambda_phi=1.5e-6,
+                           lambda_nu=1e-6, N=3, radar_range=12000.0)
+    rng = np.random.default_rng(0)
+    n_tgt = 600
+    state = empty_state(shapes, params)
+    xs = np.zeros((shapes.max_targets, 4), np.float32)
+    xs[:n_tgt, :2] = rng.uniform(-6000, 6000, (n_tgt, 2))
+    xs[:n_tgt, 2:] = rng.normal(0, 5, (n_tgt, 2))
+    mask = np.arange(shapes.max_targets) < n_tgt
+    mmsi = np.where(mask, 111000000 + np.arange(shapes.max_targets), 0)
+    state = insert_targets_(state, jnp.asarray(xs),
+                            jnp.broadcast_to(pv.P0,
+                                             (shapes.max_targets, 4, 4)),
+                            jnp.asarray(mask),
+                            jnp.asarray(mmsi, jnp.int32),
+                            jnp.asarray(0.0), params)
+    istate = initiator_mod.empty_initiator(shapes)
+    n_z = min(n_tgt, shapes.max_meas)
+    z = np.zeros((shapes.max_meas, 2), np.float32)
+    z[:n_z] = xs[:n_z, :2] + xs[:n_z, 2:] * 2.5 \
+        + rng.normal(0, 2.5, (n_z, 2))
+    scan = Scan(z=jnp.asarray(z),
+                mask=jnp.asarray(np.arange(shapes.max_meas) < n_z),
+                time=jnp.asarray(2.5, jnp.float32))
+    a_state = np.zeros((shapes.max_ais, 4), np.float32)
+    a_state[:16] = xs[:16] + 1.0
+    ais = AisBatch(state=jnp.asarray(a_state),
+                   time=jnp.full((shapes.max_ais,), 1.5, jnp.float32),
+                   mmsi=jnp.asarray(mmsi[:shapes.max_ais], jnp.int32),
+                   high_accuracy=jnp.zeros((shapes.max_ais,), bool),
+                   mask=jnp.asarray(np.arange(shapes.max_ais) < 16))
+    step = make_sharded_tracker_step(mesh, shapes, params, use_ais=True)
+    out = step(state, istate, scan, ais)
+    jax.block_until_ready(out)
+    return out
 
 
 def dryrun(n_devices: int, scenario: int = None, cluster: int = None):
