@@ -309,7 +309,14 @@ class Tracker:
                              ais_initialization=ais_initialization,
                              prune_similar=prune_similar)
 
-        self._step = jax.jit(_unpack_and_step)
+        # Donate the carried state buffers: the step consumes and
+        # replaces them every scan, so in-place reuse saves an
+        # allocate+copy of the whole SoA forest per dispatch (the host
+        # keeps no reference to the old buffers — self.state/init_state
+        # are reassigned from the outputs).  CPU ignores donation with a
+        # warning, so only donate on accelerators.
+        donate = () if jax.default_backend() == 'cpu' else (0, 1)
+        self._step = jax.jit(_unpack_and_step, donate_argnums=donate)
 
     # -- input padding ------------------------------------------------
     def _pad_scan(self, t, z):
