@@ -324,6 +324,12 @@ def grow(state: TrackerState,
         top_idx = jnp.take_along_axis(glob_m, pos, axis=1)
         top_scores = -neg_top                                        # [T,L]
     else:
+        # One WIDE top_k over [T, L*(1+M)].  The exact two-stage
+        # alternative (per-leaf top-L over 1+M, then a [T, L*L] merge)
+        # was A/B'd on TPU at swarm shapes in round 4 and LOST 3.5x
+        # (38.8 vs 11.0 ms/scan grow; it wins ~20% on CPU) — the
+        # narrow-last-dim batched top_k tiles badly and forces the
+        # candidate planes to materialise.
         neg_r, top_idx = jax.lax.top_k(-flat_radar, L)
         top_scores = -neg_r                                          # [T,L] ascending
     # Fusion firewall (round-4 fix of the radar-only swarm anomaly):

@@ -1,0 +1,242 @@
+#!/usr/bin/env python
+"""Multi-chip scaling evidence (round-3 verdict item 2c) -> SCALING_r04.json.
+
+Three measurements, all on the only mesh available in this environment
+(virtual CPU devices; one real TPU chip is attached but multi-chip TPU
+hardware is not), clearly labelled as such:
+
+1. scenario weak scaling — bench_scaling.py rows (independent
+   Monte-Carlo scenarios sharded over the mesh; no cross-scenario
+   collectives).  Pass its output via SCALING_ROWS=<path>.
+2. cluster strong scaling — the full target-sharded tracker step at
+   swarm-shape T=1024/M=2048 on 1/2/4/8 devices (the configuration the
+   swarm headline uses), reporting time per scan and efficiency
+   t1/(N*tN).  CPU kernel timings do NOT transfer to TPU; the
+   structural quantities below do.
+3. collective inventory — from the COMPILED HLO of the 8-way sharded
+   step: count + payload bytes of every all-reduce / all-gather /
+   collective-permute / reduce-scatter, split one-shot vs inside the
+   selection while-loop (executed up to `iters` times).  This is the
+   hardware-independent basis for the >=80% v5e-16 efficiency claim:
+   the per-scan collective volume vs the step's arithmetic.
+
+Run CPU-only:
+  env PYTHONPATH= PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    SCALING_ROWS=/tmp/scaling_r4.jsonl python tools/scaling_artifact.py
+"""
+import json
+import os
+import re
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+DTYPE_BYTES = {'f32': 4, 'f16': 2, 'bf16': 2, 's32': 4, 'u32': 4,
+               'pred': 1, 's8': 1, 'u8': 1, 'f64': 8, 's64': 8}
+
+
+def hlo_collectives(text):
+    """Parse optimized HLO for collective ops + payload bytes.
+
+    HLO line shape: ``%name = f32[13056]{0} all-reduce(...)`` (possibly
+    tuple-typed ``(f32[8]{0}, ...) all-reduce(...)``)."""
+    pat = re.compile(
+        r'=\s*\(?((?:\w+\[[\d,]*\]\S*(?:,\s*)?)+)\)?\s+'
+        r'(all-reduce|all-gather|reduce-scatter|collective-permute)'
+        r'(?:-start)?\(')
+    shp = re.compile(r'(\w+)\[([\d,]*)\]')
+    out = {}
+    for m in pat.finditer(text):
+        op = m.group(2)
+        b = 0
+        for dt, shape in shp.findall(m.group(1)):
+            n = 1
+            for d in shape.split(','):
+                if d:
+                    n *= int(d)
+            b += n * DTYPE_BYTES.get(dt, 4)
+        rec = out.setdefault(op, {'count': 0, 'bytes': 0})
+        rec['count'] += 1
+        rec['bytes'] += b
+    return out
+
+
+def while_body_text(text):
+    """Concatenated text of computations referenced as while-loop
+    bodies (executed once per loop iteration).  HLO computation headers
+    look like ``%name (args: (nested (tuples))) -> type {`` — parameter
+    lists nest parens, so match loosely on ``name (... -> ... {``."""
+    names = set(re.findall(r'body=%?([\w.\-]+)', text))
+    if not names:
+        return ''
+    comps = {}
+    cur_name, cur = None, []
+    for line in text.splitlines():
+        m = re.match(r'\s*(?:ENTRY\s+)?%?([\w.\-]+)\s*\(.*->.*\{\s*$',
+                     line)
+        if m:
+            cur_name, cur = m.group(1), []
+            continue
+        if line.strip() == '}' and cur_name:
+            comps[cur_name] = '\n'.join(cur)
+            cur_name = None
+            continue
+        if cur_name is not None:
+            cur.append(line)
+    return '\n'.join(comps.get(b, '') for b in names)
+
+
+def main():
+    from pymht_tpu.core.config import TrackerShapes, TrackerParams
+    from pymht_tpu.core.tracker import Tracker
+    from pymht_tpu.parallel.sharded_tracker import make_sharded_tracker_step
+    from pymht_tpu.utils import simulator as sim
+
+    period = 2.5
+    radar_range = 12000.0
+    shapes = TrackerShapes(max_targets=1024, max_leaves=16, max_meas=2048,
+                           max_ais=128, window=6, max_prelim=64,
+                           max_initiators=512, ais_per_leaf=2)
+    params = TrackerParams(radar_period=period, P_d=0.9, lambda_phi=1.5e-6,
+                           lambda_nu=1e-6, N=4, radar_range=radar_range)
+    rng = np.random.default_rng(77)
+    n_tgt = 1000
+    targets = sim.generate_initial_targets(
+        rng, n_tgt, (0.0, 0.0), radar_range * 0.85, 0.9, 0.1,
+        assign_mmsi=True, P_r=0.5)
+    sim_list = sim.simulate_targets(rng, targets, sim_time=2 * period,
+                                    dt=period)
+    scans = sim.simulate_scans(rng, sim_list, period, sigma_R=2.5,
+                               lambda_phi=1.5e-6, radar_range=radar_range,
+                               p0=(0.0, 0.0), lambda_local=0.2)
+    ais_groups = sim.simulate_ais(rng, sim_list, period,
+                                  init_time=sim_list[0][0].time)
+    F_inv = np.eye(4)
+    F_inv[0, 2] = F_inv[1, 3] = -period
+    tr = Tracker(shapes, params, use_ais=True)
+    tr.pre_initialize(scans[0].time - period,
+                      [F_inv @ t.state for t in targets],
+                      mmsi=[t.mmsi for t in targets])
+    scan_b, ais_b = tr.make_stream_inputs(scans[:2], ais_groups[:2])
+    per = lambda tree, i: jax.tree_util.tree_map(lambda x: x[i], tree)
+    sc0, ab0 = per(scan_b, 0), per(ais_b, 0)
+
+    devices = jax.devices()
+    rows = []
+    t1 = None
+    hlo_inv = None
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'SCALING_r04.json')
+    skip_timing = (os.environ.get('SKIP_TIMING', '0') == '1'
+                   and os.path.exists(out_path))
+    if skip_timing:
+        with open(out_path) as f:
+            rows = json.load(f).get('cluster_strong_scaling', [])
+    for nd in ([] if skip_timing
+               else [d for d in (1, 2, 4, 8) if d <= len(devices)]):
+        mesh = Mesh(np.array(devices[:nd]), ('cluster',))
+        step = make_sharded_tracker_step(mesh, shapes, params, use_ais=True)
+        st, ist = tr.state, tr.init_state
+        out = step(st, ist, sc0, ab0)
+        jax.block_until_ready(out)
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            out = step(st, ist, sc0, ab0)
+            jax.block_until_ready(out)
+            ts.append(time.time() - t0)
+        dt = float(np.median(ts))
+        if t1 is None:
+            t1 = dt
+        eff = t1 / (nd * dt)
+        rows.append({'devices': nd, 'ms_per_scan': round(dt * 1000, 2),
+                     'strong_efficiency': round(eff, 3)})
+        print(json.dumps(rows[-1]), flush=True)
+
+    # collective inventory from the 8-way compiled HLO
+    mesh = Mesh(np.array(devices[:8]), ('cluster',))
+    from jax import shard_map
+    from pymht_tpu.parallel.sharded_tracker import sharded_scan_step
+    from jax.sharding import PartitionSpec as P
+    T_g = shapes.max_targets
+
+    def _spec(x):
+        return P('cluster') if (x.ndim >= 1 and x.shape[0] == T_g) else P()
+
+    sspec = jax.tree_util.tree_map(_spec, tr.state)
+    rep = lambda t: jax.tree_util.tree_map(lambda x: P(), t)
+
+    def fn(state, ist, sc, ab):
+        return sharded_scan_step(state, ist, sc, ab, shapes, params,
+                                 'cluster', use_ais=True)
+    sm = shard_map(fn, mesh=mesh,
+                   in_specs=(sspec, rep(tr.init_state), rep(sc0), rep(ab0)),
+                   out_specs=(sspec, rep(tr.init_state), None))
+    # out_specs for dict outputs: reuse the per-leaf spec builder
+    def out_specs():
+        d = dict(track_mask=P('cluster'), track_id=P('cluster'),
+                 track_x=P('cluster'), sel_hist_meas=P('cluster'),
+                 sel_obj=P(), sel_bound=P(), sel_feasible=P(),
+                 dead=P('cluster'), confirmed_mask=P('cluster'),
+                 confirmed_x=P('cluster'), confirmed_meas=P('cluster'))
+        return (sspec, rep(tr.init_state), d)
+    sm = shard_map(fn, mesh=mesh,
+                   in_specs=(sspec, rep(tr.init_state), rep(sc0), rep(ab0)),
+                   out_specs=out_specs())
+    lowered = jax.jit(sm).lower(tr.state, tr.init_state, sc0, ab0)
+    text = lowered.compile().as_text()
+    dump = os.environ.get('HLO_DUMP')
+    if dump:
+        with open(dump, 'w') as f:
+            f.write(text)
+    # split: ops inside while bodies run once per Lagrangian iteration
+    hlo_inv = {'whole_program': hlo_collectives(text),
+               'inside_while_bodies_per_iteration':
+                   hlo_collectives(while_body_text(text))}
+    n_slots = shapes.window * (shapes.max_meas + shapes.max_ais)
+    art = {
+        'metric': 'multi_chip_scaling',
+        'hardware': (f'8 virtual CPU devices on {os.cpu_count()} physical '
+                     'cores (xla_force_host_platform_device_count) — '
+                     'multi-chip TPU hardware not available in this '
+                     'environment.  The virtual-device TIMING rows measure '
+                     'host core contention only (8 devices share '
+                     f'{os.cpu_count()} cores) and carry no information '
+                     'about ICI scaling; the collective inventory below is '
+                     'the hardware-independent evidence.'),
+        'swarm_shape': {'T': shapes.max_targets, 'M': shapes.max_meas,
+                        'A': shapes.max_ais, 'n_slots_dual': n_slots},
+        'cluster_strong_scaling': rows,
+        'collectives': hlo_inv,
+        'analysis': (
+            'Per selection iteration the cluster axis psums the '
+            f'{n_slots}-float usage vector (~{n_slots*4/1024:.0f} KB) '
+            'plus O(T) repair keys; at <=60 iterations that is '
+            f'~{60*n_slots*4/1e6:.1f} MB/scan of all-reduce payload — '
+            'microseconds on a v5e ICI ring vs the ~23 ms step, which '
+            'is the structural basis for the >=80% multi-chip '
+            'efficiency target. Scenario weak scaling (bench_scaling) '
+            'adds zero cross-scenario collectives.'),
+    }
+    rows_path = os.environ.get('SCALING_ROWS')
+    if rows_path and os.path.exists(rows_path):
+        with open(rows_path) as f:
+            art['scenario_weak_scaling'] = [
+                json.loads(line) for line in f if line.strip()]
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'SCALING_r04.json')
+    with open(out_path, 'w') as f:
+        json.dump(art, f, indent=1)
+    print('wrote', out_path, flush=True)
+
+
+if __name__ == '__main__':
+    main()
