@@ -42,7 +42,8 @@ def main():
     radar_range = 12000.0
     shapes = TrackerShapes(
         max_targets=1024, max_leaves=16, max_meas=M_CAP, max_ais=A_CAP,
-        window=6, max_prelim=64, max_initiators=512, ais_per_leaf=2)
+        window=6, max_prelim=64, max_initiators=512, ais_per_leaf=2,
+        ais_prefilter_width=int(os.environ.get("SWARM_PREFILTER", "0")))
     params = TrackerParams(radar_period=period, P_d=0.9,
                            lambda_phi=1.5e-6, lambda_nu=1e-6, N=4,
                            radar_range=radar_range)

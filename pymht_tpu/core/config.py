@@ -35,11 +35,19 @@ class TrackerShapes:
     # fuses every stage-1-gated message, tracker.py:417-552; G < A is a
     # score beam on that set).
     ais_per_leaf: int = 0
+    # Gp: stage-1 prefilter width (0 = exact full-A sweep).  When
+    # 0 < Gp < A the expensive 4x4 stage-1 NIS runs on only the Gp best
+    # messages per leaf under a provable NIS lower bound
+    # (|z|^2/trace(S)); exclusion by the bound is lossless, the top-Gp
+    # truncation is a score beam like ais_per_leaf.  Worth ~5x on the
+    # stage-1 sweep at swarm shapes (A=128); pointless for small A.
+    ais_prefilter_width: int = 0
 
     def __post_init__(self):
         assert self.window >= 2
         assert self.max_leaves >= 2
         assert 0 <= self.ais_per_leaf <= self.max_ais
+        assert 0 <= self.ais_prefilter_width <= self.max_ais
 
     @property
     def ais_fuse_width(self):

@@ -94,7 +94,8 @@ def _radar_candidates_einsum(state, scan, params, A_mat, Q_mat, C, R):
     return x_bar, P_bar, z_hat, S, K, P_hat, zt, nis, gate, nllr_m
 
 
-def _ais_candidates(state, scan, ais, params, G=None, n_targets=None):
+def _ais_candidates(state, scan, ais, params, G=None, n_targets=None,
+                    prefilter=0):
     """Two-stage AIS+radar fusion candidates (tracker.py:417-552).
 
     Production path: the scalar-plane formulation in ops.ais_fused
@@ -106,7 +107,7 @@ def _ais_candidates(state, scan, ais, params, G=None, n_targets=None):
     A = ais.mask.shape[0]
     G = A if G is None else min(max(G, 1), A)
     return ais_candidates_planes(state, scan, ais, params, G,
-                                 n_targets=n_targets)
+                                 n_targets=n_targets, prefilter=prefilter)
 
 
 def _ais_candidates_einsum(state, scan, ais, params, G=None):
@@ -289,7 +290,8 @@ def grow(state: TrackerState,
         G = min(shapes.ais_fuse_width, shapes.max_ais)
         (g_ok, gate2, pure_gate, nllr1g, fused_score,
          x_bar2, z_hat2, K2g, P_ais_hat, ais_idx) = _ais_candidates(
-            state, scan, ais, params, G=G, n_targets=n_targets_global)
+            state, scan, ais, params, G=G, n_targets=n_targets_global,
+            prefilter=shapes.ais_prefilter_width)
         pure_score = jnp.where(pure_gate,
                                state.leaf_cnllr[:, :, None] + nllr1g, BIG)  # [T,L,G]
         fused = jnp.where(gate2,

@@ -129,7 +129,8 @@ def _quad4(inv, zt):
     return acc
 
 
-def ais_candidates_planes(state, scan, ais, params, G, n_targets=None):
+def ais_candidates_planes(state, scan, ais, params, G, n_targets=None,
+                          prefilter=0):
     """Drop-in replacement for grow._ais_candidates (same return tuple).
 
     state: TrackerState; scan: Scan; ais: AisBatch; G: compressed width.
@@ -138,6 +139,29 @@ def ais_candidates_planes(state, scan, ais, params, G, n_targets=None):
     where the local ``sum(tgt_mask)`` is only this shard's count and
     would bias every AIS association score by log(global/local)
     (sharded_tracker.py psums it).  Default: local count (single-chip).
+
+    ``prefilter`` (shapes.ais_prefilter_width): when 0 < prefilter < A,
+    the exact 4x4 Schur/NIS stage-1 sweep runs on only the ``Gp =
+    max(prefilter, G)`` best messages per leaf under a PROVABLE lower
+    bound on the stage-1 NIS — for PSD S, z'S^-1 z >= |z|^2/lambda_max
+    >= |z|^2/trace(S), so any message whose bound exceeds eta2_ais is
+    exactly ungated and its exclusion is lossless.  The only
+    approximation is the top-Gp truncation when MORE than Gp messages
+    pass the conservative bound for one leaf — same controlled
+    score-beam class as ``ais_per_leaf`` itself (the reference fuses
+    every stage-1-gated message, tracker.py:417-552).
+
+    NEGATIVE RESULT (round 4, keep OFF on TPU): despite cutting the
+    [T,L,A] Schur DAG 16x in elements, the prefilter measured +11 ms
+    per grow at swarm shapes on TPU (34.7 vs 23.6,
+    tools/bisect_swarm.py BISECT_PREFILTER=8) — the mid-chain
+    gather/top_k pair fragments XLA's fusion of the AIS DAG, the same
+    failure mode as the round-4 beam-top_k anomaly.  Decision parity
+    is proven (tests/test_ais_fused.py::test_prefilter_matches_exact_
+    sweep); the path is retained for A/B reruns (on CPU it saves only
+    ~3% at the same shapes — the sweep is fusion-bound, not
+    arithmetic-bound, on both platforms).
+
     Returns (g_ok, gate2, pure_gate, nllr1g, fused_score,
              x_bar2, z_hat2, K2, P_hat2, ais_idx).
     """
@@ -157,43 +181,82 @@ def ais_candidates_planes(state, scan, ais, params, G, n_targets=None):
                        ais.time.astype(jnp.float32),
                        jnp.zeros((A,), jnp.float32)], axis=1)      # [A,8]
 
-    # ---- stage-1 sweep [T,L,A]: NIS + gate only ----------------------
     P = state.leaf_P                                              # [T,L,4,4]
     x = state.leaf_x                                              # [T,L,4]
 
-    def g1(i, j):
-        return P[:, :, i, j][:, :, None]                          # [T,L,1]
-
-    dt1 = dT1[None, None, :]                                      # [1,1,A]
-    pb1 = _pred_cov_planes(g1, dt1, q)
-    s1 = dict(pb1)
-    ra = r_a[None, None, :]
-    for i in range(4):
-        s1[(i, i)] = pb1[(i, i)] + ra
-    inv1, det1 = _schur4(s1)
-    # zt1 = ais.state - Phi(dt1) x
-    xb1 = [x[:, :, 0][:, :, None] + dt1 * x[:, :, 2][:, :, None],
-           x[:, :, 1][:, :, None] + dt1 * x[:, :, 3][:, :, None],
-           jnp.broadcast_to(x[:, :, 2][:, :, None], (T, L, A)),
-           jnp.broadcast_to(x[:, :, 3][:, :, None], (T, L, A))]
-    zt1 = [ais.state[None, None, :, k] - xb1[k] for k in range(4)]
-    nis1 = _quad4(inv1, zt1)                                      # [T,L,A]
-
-    gate1 = ((nis1 <= params.eta2_ais)
-             & ais.mask[None, None, :]
-             & state.leaf_mask[:, :, None])
     # MMSI consistency (pyTarget.py:269-272)
     hist_mmsi_leaf = jnp.max(state.hist_mmsi, axis=2)
     hist_mmsi_leaf = jnp.maximum(hist_mmsi_leaf, state.tgt_mmsi[:, None])
     mmsi_ok = ((hist_mmsi_leaf[:, :, None] == 0)
                | (hist_mmsi_leaf[:, :, None] == ais.mmsi[None, None, :]))
-    gate1 = gate1 & mmsi_ok
 
-    # ---- compression: best G gated messages per leaf by stage-1 NIS --
-    key = jnp.where(gate1, nis1, jnp.inf)                         # [T,L,A]
-    negk, ais_idx = jax.lax.top_k(-key, G)                        # [T,L,G]
-    nis1g = -negk                                                 # [T,L,G]
-    g_ok = jnp.isfinite(nis1g)
+    def _stage1_nis_planes(dtg, rg, sg):
+        """Exact stage-1 NIS on a compressed [T,L,K] message axis with
+        per-element dt/r/message-state planes.  Returns (nis, pb, inv,
+        det, xb) so callers can reuse the pieces."""
+        gP = lambda i, j: P[:, :, i, j][:, :, None]        # noqa: E731
+        pb = _pred_cov_planes(gP, dtg, q)
+        s = dict(pb)
+        for i in range(4):
+            s[(i, i)] = pb[(i, i)] + rg
+        inv, det = _schur4(s)
+        K = dtg.shape[2]
+        xb = [x[:, :, 0][:, :, None] + dtg * x[:, :, 2][:, :, None],
+              x[:, :, 1][:, :, None] + dtg * x[:, :, 3][:, :, None],
+              jnp.broadcast_to(x[:, :, 2][:, :, None], (T, L, K)),
+              jnp.broadcast_to(x[:, :, 3][:, :, None], (T, L, K))]
+        zt = [sg[k] - xb[k] for k in range(4)]
+        nis = _quad4(inv, zt)
+        return nis, det
+
+    if 0 < prefilter < A:
+        Gp = min(max(prefilter, G), A)
+        # cheap conservative sweep: bound = |zt|^2 / trace(S) <= NIS
+        dt1 = dT1[None, None, :]                                  # [1,1,A]
+        t2 = dt1 * dt1
+        p = lambda i, j: P[:, :, i, j][:, :, None]          # noqa: E731
+        tr = (p(0, 0) + dt1 * (p(0, 2) + p(2, 0)) + t2 * p(2, 2)
+              + p(1, 1) + dt1 * (p(1, 3) + p(3, 1)) + t2 * p(3, 3)
+              + p(2, 2) + p(3, 3)
+              + (t2 * t2 / 2.0 + 2.0 * t2) * q
+              + 4.0 * r_a[None, None, :])                         # trace(S)
+        ztb = [ais.state[None, None, :, 0]
+               - (x[:, :, 0][:, :, None] + dt1 * x[:, :, 2][:, :, None]),
+               ais.state[None, None, :, 1]
+               - (x[:, :, 1][:, :, None] + dt1 * x[:, :, 3][:, :, None]),
+               ais.state[None, None, :, 2] - x[:, :, 2][:, :, None],
+               ais.state[None, None, :, 3] - x[:, :, 3][:, :, None]]
+        z2 = sum(zz * zz for zz in ztb)
+        bound = z2 / tr                                           # [T,L,A]
+        okb = ((bound <= params.eta2_ais)
+               & ais.mask[None, None, :]
+               & state.leaf_mask[:, :, None] & mmsi_ok)
+        keyb = jnp.where(okb, bound, jnp.inf)
+        _, idxp = jax.lax.top_k(-keyb, Gp)                        # [T,L,Gp]
+        validp = jnp.take_along_axis(okb, idxp, axis=2)
+        tabp = table[idxp]                                        # [T,L,Gp,8]
+        nis_p, _ = _stage1_nis_planes(tabp[..., 0], tabp[..., 1],
+                                      [tabp[..., 2 + k]
+                                       for k in range(4)])
+        gate_p = validp & (nis_p <= params.eta2_ais)
+        key2 = jnp.where(gate_p, nis_p, jnp.inf)
+        negk, sel2 = jax.lax.top_k(-key2, G)                      # [T,L,G]
+        nis1g = -negk
+        g_ok = jnp.isfinite(nis1g)
+        ais_idx = jnp.take_along_axis(idxp, sel2, axis=2)         # [T,L,G]
+    else:
+        # ---- exact stage-1 sweep over the full [T,L,A] axis ----------
+        nis1, _ = _stage1_nis_planes(
+            dT1[None, None, :], r_a[None, None, :],
+            [ais.state[None, None, :, k] for k in range(4)])
+        gate1 = ((nis1 <= params.eta2_ais)
+                 & ais.mask[None, None, :]
+                 & state.leaf_mask[:, :, None] & mmsi_ok)
+        # ---- compression: best G gated messages per leaf by NIS ------
+        key = jnp.where(gate1, nis1, jnp.inf)                     # [T,L,A]
+        negk, ais_idx = jax.lax.top_k(-key, G)                    # [T,L,G]
+        nis1g = -negk                                             # [T,L,G]
+        g_ok = jnp.isfinite(nis1g)
 
     tab = table[ais_idx]                                          # [T,L,G,8]
     dtg = tab[..., 0]

@@ -51,7 +51,8 @@ def build():
     radar_range = 12000.0
     shapes = TrackerShapes(
         max_targets=1024, max_leaves=16, max_meas=M_CAP, max_ais=A_CAP,
-        window=6, max_prelim=64, max_initiators=512, ais_per_leaf=2)
+        window=6, max_prelim=64, max_initiators=512, ais_per_leaf=2,
+        ais_prefilter_width=int(os.environ.get("BISECT_PREFILTER", "0")))
     params = TrackerParams(radar_period=period, P_d=0.9,
                            lambda_phi=1.5e-6, lambda_nu=1e-6, N=4,
                            radar_range=radar_range)
@@ -116,8 +117,65 @@ def main():
           f"L={shapes.max_leaves} M={shapes.max_meas} A={shapes.max_ais} "
           f"scans={N_SCANS}", flush=True)
 
+    from pymht_tpu.core.grow import _ais_candidates
+    from pymht_tpu.ops.ais_fused import (_pred_cov_planes, _schur4, _quad4)
+    from pymht_tpu.models import ais as ais_model
+    from pymht_tpu.models.constants import sigmaQ_tracker
+
+    G = min(shapes.ais_fuse_width, shapes.max_ais)
+
+    def a_cands(s, sc, a):
+        # AIS candidate math live, but the beam stays radar-only:
+        # isolates the fusion DAG from the wider beam/merge tail.
+        def body(st_, inp):
+            scan_t, ais_t = inp
+            outs = _ais_candidates(st_, scan_t, ais_t, params, G=G)
+            keep = outs[4].sum() + outs[3].sum()
+            g = grow(st_, scan_t, None, shapes, params)
+            return g.state, keep
+        return jax.lax.scan(body, s, (sc, a))
+
+    def a_stage1(s, sc, a):
+        # stage-1 [T,L,A] sweep + top-G compression only (the part that
+        # scales with A=128)
+        q = float(sigmaQ_tracker)
+        r_hi = ais_model.sigmaR_AIS_true_highAccuracy ** 2
+        r_lo = ais_model.sigmaR_AIS_true_lowAccuracy ** 2
+
+        def body(st_, inp):
+            scan_t, ais_t = inp
+            T, L = st_.leaf_mask.shape
+            A = ais_t.mask.shape[0]
+            P, x = st_.leaf_P, st_.leaf_x
+            dT1 = ais_t.time - st_.time
+            ra = jnp.where(ais_t.high_accuracy, r_hi, r_lo)[None, None, :]
+            g1 = lambda i, j: P[:, :, i, j][:, :, None]
+            pb1 = _pred_cov_planes(g1, dT1[None, None, :], q)
+            s1 = dict(pb1)
+            for i in range(4):
+                s1[(i, i)] = pb1[(i, i)] + ra
+            inv1, det1 = _schur4(s1)
+            xb1 = [x[:, :, 0][:, :, None] + dT1[None, None, :]
+                   * x[:, :, 2][:, :, None],
+                   x[:, :, 1][:, :, None] + dT1[None, None, :]
+                   * x[:, :, 3][:, :, None],
+                   jnp.broadcast_to(x[:, :, 2][:, :, None], (T, L, A)),
+                   jnp.broadcast_to(x[:, :, 3][:, :, None], (T, L, A))]
+            zt1 = [ais_t.state[None, None, :, k] - xb1[k] for k in range(4)]
+            nis1 = _quad4(inv1, zt1)
+            gate1 = ((nis1 <= params.eta2_ais)
+                     & ais_t.mask[None, None, :]
+                     & st_.leaf_mask[:, :, None])
+            key = jnp.where(gate1, nis1, jnp.inf)
+            negk, ais_idx = jax.lax.top_k(-key, G)
+            g = grow(st_, scan_t, None, shapes, params)
+            return g.state, negk.sum() + ais_idx.sum() + det1.sum()
+        return jax.lax.scan(body, s, (sc, a))
+
     cases = {
         'r_full': lambda: grow_variant(shapes, params, False),
+        'a_stage1': lambda: jax.jit(a_stage1),
+        'a_cands': lambda: jax.jit(a_cands),
         'a_full': lambda: grow_variant(shapes, params, True),
     }
     for name, mk in cases.items():
