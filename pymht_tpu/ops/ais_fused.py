@@ -254,8 +254,24 @@ def ais_candidates_planes(state, scan, ais, params, G, n_targets=None,
                  & state.leaf_mask[:, :, None] & mmsi_ok)
         # ---- compression: best G gated messages per leaf by NIS ------
         key = jnp.where(gate1, nis1, jnp.inf)                     # [T,L,A]
-        negk, ais_idx = jax.lax.top_k(-key, G)                    # [T,L,G]
-        nis1g = -negk                                             # [T,L,G]
+        if G <= 4:
+            # G-pass iterated argmin instead of lax.top_k: identical
+            # selection (both break ties by lowest index), but pure
+            # masked reductions that fuse with the NIS producer —
+            # on-TPU A/B at swarm shapes: top_k 2.5 ms vs 1.7 ms
+            # (tools/bisect_swarm.py a_s1_argmax vs a_stage1).
+            idxs, vals = [], []
+            for _ in range(G):
+                i = jnp.argmin(key, axis=2)
+                vals.append(jnp.min(key, axis=2))
+                idxs.append(i)
+                key = jnp.where(jax.nn.one_hot(i, A, dtype=bool),
+                                jnp.inf, key)
+            nis1g = jnp.stack(vals, axis=2)                       # [T,L,G]
+            ais_idx = jnp.stack(idxs, axis=2)
+        else:
+            negk, ais_idx = jax.lax.top_k(-key, G)                # [T,L,G]
+            nis1g = -negk
         g_ok = jnp.isfinite(nis1g)
 
     tab = table[ais_idx]                                          # [T,L,G,8]

@@ -172,8 +172,73 @@ def main():
             return g.state, negk.sum() + ais_idx.sum() + det1.sum()
         return jax.lax.scan(body, s, (sc, a))
 
+    def _stage1_planes(st_, ais_t):
+        q = float(sigmaQ_tracker)
+        r_hi = ais_model.sigmaR_AIS_true_highAccuracy ** 2
+        r_lo = ais_model.sigmaR_AIS_true_lowAccuracy ** 2
+        T, L = st_.leaf_mask.shape
+        A = ais_t.mask.shape[0]
+        P, x = st_.leaf_P, st_.leaf_x
+        dT1 = ais_t.time - st_.time
+        ra = jnp.where(ais_t.high_accuracy, r_hi, r_lo)[None, None, :]
+        g1 = lambda i, j: P[:, :, i, j][:, :, None]
+        pb1 = _pred_cov_planes(g1, dT1[None, None, :], q)
+        s1 = dict(pb1)
+        for i in range(4):
+            s1[(i, i)] = pb1[(i, i)] + ra
+        inv1, det1 = _schur4(s1)
+        xb1 = [x[:, :, 0][:, :, None] + dT1[None, None, :]
+               * x[:, :, 2][:, :, None],
+               x[:, :, 1][:, :, None] + dT1[None, None, :]
+               * x[:, :, 3][:, :, None],
+               jnp.broadcast_to(x[:, :, 2][:, :, None], (T, L, A)),
+               jnp.broadcast_to(x[:, :, 3][:, :, None], (T, L, A))]
+        zt1 = [ais_t.state[None, None, :, k] - xb1[k] for k in range(4)]
+        nis1 = _quad4(inv1, zt1)
+        gate1 = ((nis1 <= params.eta2_ais)
+                 & ais_t.mask[None, None, :]
+                 & st_.leaf_mask[:, :, None])
+        return nis1, gate1, det1
+
+    def a_s1_dag(s, sc, a):
+        # stage-1 NIS DAG + cheap reductions, NO top_k: is the cost the
+        # planes DAG or the [T,L,A] top_k?
+        def body(st_, inp):
+            scan_t, ais_t = inp
+            nis1, gate1, det1 = _stage1_planes(st_, ais_t)
+            val = (nis1.sum() + det1.sum()
+                   + gate1.sum().astype(jnp.float32))
+            g = grow(st_, scan_t, None, shapes, params)
+            return g.state, val
+        return jax.lax.scan(body, s, (sc, a))
+
+    def a_s1_argmax(s, sc, a):
+        # stage-1 + G-pass iterated-argmax compression (no lax.top_k):
+        # pure masked reductions, fusable with the NIS producer.
+        def body(st_, inp):
+            scan_t, ais_t = inp
+            nis1, gate1, det1 = _stage1_planes(st_, ais_t)
+            key = jnp.where(gate1, nis1, jnp.inf)
+            idxs, vals = [], []
+            for _ in range(G):
+                i = jnp.argmin(key, axis=2)
+                v = jnp.min(key, axis=2)
+                idxs.append(i)
+                vals.append(v)
+                key = jnp.where(jax.nn.one_hot(i, key.shape[2],
+                                               dtype=bool), jnp.inf, key)
+            val = (sum(jnp.where(jnp.isfinite(v), v, 0.0).sum()
+                       for v in vals)
+                   + sum(i.sum() for i in idxs).astype(jnp.float32)
+                   + det1.sum())
+            g = grow(st_, scan_t, None, shapes, params)
+            return g.state, val
+        return jax.lax.scan(body, s, (sc, a))
+
     cases = {
         'r_full': lambda: grow_variant(shapes, params, False),
+        'a_s1_dag': lambda: jax.jit(a_s1_dag),
+        'a_s1_argmax': lambda: jax.jit(a_s1_argmax),
         'a_stage1': lambda: jax.jit(a_stage1),
         'a_cands': lambda: jax.jit(a_cands),
         'a_full': lambda: grow_variant(shapes, params, True),
