@@ -166,3 +166,62 @@ def test_make_stream_inputs_matches_manual_timebase():
                                 53.5 - tracker.t0])
     assert np.asarray(ab.mask)[:, 0].all()
     assert int(np.asarray(ab.mmsi)[0, 0]) == 7
+
+
+def test_mid_stream_empty_scan_coast_and_reacquire():
+    """A dropout scan (zero measurements) mid-run must not kill healthy
+    tracks: they coast on zero-hypotheses and re-acquire on the next
+    scan (reference zero-hypothesis guarantee, pyTarget.py:319-328)."""
+    import numpy as np
+    from pymht_tpu import Tracker, TrackerShapes, TrackerParams
+
+    shapes = TrackerShapes(max_targets=8, max_leaves=16, max_meas=16,
+                           max_ais=2, window=6, max_prelim=8,
+                           max_initiators=16)
+    params = TrackerParams(radar_period=2.5, P_d=0.9, lambda_phi=1e-7,
+                           lambda_nu=1e-6, N=4, radar_range=1000.0)
+    tracker = Tracker(shapes, params, use_ais=False)
+    x0 = np.array([[0.0, 0.0, 2.0, 0.0], [100.0, 50.0, -2.0, 1.0]])
+    tracker.pre_initialize(0.0, list(x0))
+    rng = np.random.default_rng(3)
+    for k in range(6):
+        t = 2.5 * (k + 1)
+        if k == 2:
+            z = np.zeros((0, 2), np.float32)      # dropout scan
+        else:
+            z = x0[:, :2] + x0[:, 2:] * t + rng.normal(0, 1.0, (2, 2))
+        tracker.add_measurement_list(t, z)
+    ids, states = tracker.get_track_states()
+    assert len(ids) == 2, f"track lost across dropout: {ids}"
+    for i, s in enumerate(states[np.argsort(ids)]):
+        expect = x0[i, :2] + x0[i, 2:] * 15.0
+        assert np.linalg.norm(s[:2] - expect) < 10.0, (i, s, expect)
+
+
+def test_zero_clutter_density_stays_finite():
+    """lambda_phi = lambda_nu = 0 must not produce NaN/inf scores (the
+    reference has a latent NameError in its nllr at lambda_ex=0,
+    kalman.py:17 — ours must degrade gracefully via the density
+    floor)."""
+    import numpy as np
+    from pymht_tpu import Tracker, TrackerShapes, TrackerParams
+
+    shapes = TrackerShapes(max_targets=4, max_leaves=8, max_meas=8,
+                           max_ais=2, window=5, max_prelim=4,
+                           max_initiators=8)
+    params = TrackerParams(radar_period=2.5, P_d=0.9, lambda_phi=0.0,
+                           lambda_nu=0.0, N=3, radar_range=1000.0)
+    tracker = Tracker(shapes, params, use_ais=False)
+    tracker.pre_initialize(0.0, [np.array([0.0, 0.0, 1.0, 0.0])])
+    rng = np.random.default_rng(0)
+    for k in range(4):
+        t = 2.5 * (k + 1)
+        z = np.array([[t, 0.0]]) + rng.normal(0, 1.0, (1, 2))
+        out = tracker.add_measurement_list(t, z)
+        assert np.isfinite(float(out.sel_obj)), out.sel_obj
+    ids, states = tracker.get_track_states()
+    assert len(ids) == 1
+    assert np.all(np.isfinite(states))
+    cn = np.asarray(tracker.state.leaf_cnllr)
+    ok = np.asarray(tracker.state.leaf_mask)
+    assert np.all(np.isfinite(cn[ok]))
