@@ -420,16 +420,25 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
     # invariant (grow) at most one target can unavoidably claim a slot,
     # so ceding to it is always consistent.  Loop-invariant; computed
     # once per selection.
-    def _unavoidable():
-        s = jnp.where(eff_leaf[..., None], slots_flat, n_slots)
-        flat = (jnp.arange(T)[:, None, None] * (n_slots + 1) + s).reshape(-1)
-        cnt_ts = jnp.zeros((T * (n_slots + 1),), jnp.float32)
-        cnt_ts = cnt_ts.at[flat].add(1.0).reshape(T, n_slots + 1)
-        n_live = eff_leaf.sum(axis=1).astype(jnp.float32)
-        unavoid = (cnt_ts >= n_live[:, None] - 0.5) & (n_live[:, None] > 0.5)
-        return unavoid                                      # [T, S+1]
+    #
+    # Representation: a slot's window column is part of its identity
+    # (slot = (column, measurement)), so "all live leaves use s" can
+    # only happen at s's own column — unavoidability is a [T, W*2]
+    # all-live-leaves-agree test per column, NOT a [T, n_slots] table
+    # (the round-3 table was T x W(M+A): ~800 MB of scatter at the
+    # T=4096 saturation point and the quadratic term in select's
+    # scaling curve).  Any live leaf's own slot at an agreed column
+    # equals the shared slot, so the repair can read this directly.
+    def _unavoidable_cols():
+        sf = jnp.where(eff_leaf[..., None], slots_flat, -1)  # [T,L,K]
+        rep = jnp.max(sf, axis=1)                            # [T,K]
+        same = jnp.all((sf == rep[:, None, :])
+                       | ~eff_leaf[..., None], axis=1)       # [T,K]
+        n_live = eff_leaf.sum(axis=1)
+        return same & (rep >= 0) & (rep < n_slots) \
+            & (n_live > 0)[:, None]                          # [T,K]
 
-    unavoid = _unavoidable()
+    unav_cols = _unavoidable_cols()
 
     def repair(sel, lam):
         """Parallel keep-best-per-slot conflict resolution.
@@ -456,7 +465,7 @@ def select_lagrangian(state: TrackerState, shapes: TrackerShapes,
             # consistent), then score.  A spine-holder therefore never
             # loses its slot, which guarantees the repair terminates at
             # the all-spines assignment in the worst case.
-            unav_own = jnp.take_along_axis(unavoid, own, axis=1)  # [T,W*2]
+            unav_own = unav_cols                                  # [T,W*2]
             on_spine = (sel == state.spine_leaf).astype(jnp.float32)
             key = (fsel[:, None]
                    - 1e8 * unav_own.astype(jnp.float32)

@@ -76,17 +76,19 @@ def distributed_lagrangian(state, shapes: TrackerShapes,
         local = jnp.where(tgt, f[jnp.arange(T), sel], 0.0).sum()
         return jax.lax.psum(local, axis_name)
 
-    # per-(target, slot) unavoidability (see core/select.py)
-    def _unavoidable():
+    # per-(target, column) unavoidability: all-live-leaves-agree test
+    # per window column (see core/select.py — a slot's column is part
+    # of its identity, so the [T, n_slots] table is never needed)
+    def _unavoidable_cols():
         eff = state.leaf_mask & tgt[:, None]
-        s = jnp.where(eff[..., None], slots_flat, n_slots)
-        flat = (jnp.arange(T)[:, None, None] * (n_slots + 1) + s).reshape(-1)
-        cnt_ts = jnp.zeros((T * (n_slots + 1),), jnp.float32)
-        cnt_ts = cnt_ts.at[flat].add(1.0).reshape(T, n_slots + 1)
-        n_live = eff.sum(axis=1).astype(jnp.float32)
-        return (cnt_ts >= n_live[:, None] - 0.5) & (n_live[:, None] > 0.5)
+        sf = jnp.where(eff[..., None], slots_flat, -1)
+        rep = jnp.max(sf, axis=1)
+        same = jnp.all((sf == rep[:, None, :]) | ~eff[..., None], axis=1)
+        n_live = eff.sum(axis=1)
+        return same & (rep >= 0) & (rep < n_slots) \
+            & (n_live > 0)[:, None]
 
-    unavoid = _unavoidable()
+    unav_cols = _unavoidable_cols()
 
     def repair(sel, lam):
         """Distributed keep-best-per-slot conflict resolution: the keep
@@ -103,7 +105,7 @@ def distributed_lagrangian(state, shapes: TrackerShapes,
             own = jnp.where(tgt[:, None],
                             slots_flat[jnp.arange(T), sel], n_slots)
             fsel = f[jnp.arange(T), sel]
-            unav_own = jnp.take_along_axis(unavoid, own, axis=1)
+            unav_own = unav_cols
             on_spine = (sel == state.spine_leaf).astype(jnp.float32)
             key = (fsel[:, None]
                    - 1e8 * unav_own.astype(jnp.float32)
