@@ -28,6 +28,7 @@ N_SCANS = int(os.environ.get("SWARM_SCANS", "8"))
 M_CAP = int(os.environ.get("SWARM_MEAS", "2048"))
 A_CAP = int(os.environ.get("SWARM_AIS", "128"))
 USE_AIS = os.environ.get("SWARM_USE_AIS", "1") == "1"
+DYN_WIN = os.environ.get("SWARM_DYNWIN", "0") == "1"
 
 
 def main():
@@ -103,7 +104,7 @@ def main():
 
     run = jax.jit(lambda st, ist, sc, a: scan_many(
         st, ist, sc, a, shapes, params, method='lagrangian',
-        use_ais=USE_AIS))
+        use_ais=USE_AIS, dynamic_window=DYN_WIN))
     out = run(tracker.state, tracker.init_state, scans_dev, ais_dev)
     jax.block_until_ready(out)
     reps = []
@@ -117,6 +118,12 @@ def main():
     gaps = np.asarray(outs.sel_obj) - np.asarray(outs.sel_bound)
     rel = np.median(gaps / np.maximum(1.0, np.abs(np.asarray(outs.sel_bound))))
     n_alive = int(np.asarray(outs.track_mask)[-1].sum())
+    final_state = out[0]
+    tw = np.asarray(final_state.tgt_window)[np.asarray(final_state.tgt_mask)]
+    win_stats = ({"mean": round(float(tw.mean()), 2),
+                  "min": int(tw.min()), "max": int(tw.max()),
+                  "shrunk_frac": round(float((tw < params.N).mean()), 3)}
+                 if DYN_WIN and tw.size else None)
 
     # Streaming quality vs ground truth: per scan, ONE-TO-ONE match
     # truth targets to selected-track estimates (20 m gate) via the
@@ -194,6 +201,7 @@ def main():
         "oracle_proven_optimal": oracle_optimal,
         "truth_coverage": round(coverage, 4),
         "rms_matched_m": round(rms, 3),
+        "dynamic_window": win_stats,
         "hardware": "1x v5e (axon tunnel), device-resident streaming",
     }))
 
