@@ -36,6 +36,8 @@ def sharded_scan_step(state, init_state, scan: Scan, ais,
                       axis_name: str = 'cluster',
                       use_ais: bool = False,
                       ais_initialization: bool = True,
+                      prune_similar: bool = False,
+                      dynamic_window: bool = False,
                       select_kw=None):
     """One scan; runs INSIDE shard_map.  ``state`` holds this shard's
     target slots; ``init_state``/``scan``/``ais`` are replicated."""
@@ -54,6 +56,9 @@ def sharded_scan_step(state, init_state, scan: Scan, ais,
     g = grow(state, scan, ais if use_ais else None, shapes, params,
              n_targets_global=n_tgt_global if use_ais else None)
     state = g.state
+    if prune_similar:
+        from ..core.merge import prune_similar as _ps
+        state = _ps(state, shapes, params)
     used_meas = jax.lax.psum(g.used_meas.astype(jnp.int32), axis_name) > 0
 
     # 2-3. distributed selection (psum/pmin collectives)
@@ -106,9 +111,31 @@ def sharded_scan_step(state, init_state, scan: Scan, ais,
     mine = new_mask & ((rank % n_shards) == my_shard)
     new_ids = state.next_id + rank
     next_id_after = state.next_id + jnp.sum(new_mask.astype(jnp.int32))
+    prev_mask = state.tgt_mask
     state = insert_targets(state, new_x, init_out.new_P, mine,
                            new_mmsi, scan.time, params, new_ids=new_ids)
     state = state.replace(next_id=next_id_after)
+
+    # 9. on-device dynamic window, sharded twin of core/tracker.py's
+    # (reference __dynamicWindow, tracker.py:918-950): saturation is
+    # target-local; the load-share trigger compares each target's
+    # gated-pair work against the GLOBAL scan total (one psum).
+    if dynamic_window:
+        T_l, L_l = state.leaf_mask.shape
+        inserted = state.tgt_mask & ~prev_mask
+        lc = jnp.sum(state.leaf_mask.astype(jnp.int32), axis=1)
+        sat = state.tgt_mask & (lc >= L_l)
+        proxy = lc.astype(jnp.float32) * (
+            1.0 + g.gated_counts.astype(jnp.float32))
+        total = jax.lax.psum(
+            jnp.sum(jnp.where(state.tgt_mask, proxy, 0.0)), axis_name)
+        share = params.max_target_time / params.radar_period
+        over = (state.tgt_mask & (lc >= L_l // 2)
+                & (proxy > share * jnp.maximum(total, 1.0)))
+        shrink = (sat | over) & ~inserted
+        state = state.replace(tgt_window=jnp.where(
+            shrink, jnp.maximum(state.tgt_window - 1, 1),
+            state.tgt_window))
 
     outs = dict(track_mask=track_mask, track_id=track_id, track_x=track_x,
                 sel_hist_meas=sel_hist_meas, sel_obj=obj, sel_bound=lb,
@@ -123,6 +150,8 @@ def make_sharded_tracker_step(mesh: Mesh, shapes: TrackerShapes,
                               axis_name: str = 'cluster',
                               use_ais: bool = False,
                               ais_initialization: bool = True,
+                              prune_similar: bool = False,
+                              dynamic_window: bool = False,
                               select_kw=None):
     """jitted shard_map wrapper over one full tracker scan.
 
@@ -148,6 +177,8 @@ def make_sharded_tracker_step(mesh: Mesh, shapes: TrackerShapes,
                                  shapes, params, axis_name,
                                  use_ais=use_ais,
                                  ais_initialization=ais_initialization,
+                                 prune_similar=prune_similar,
+                                 dynamic_window=dynamic_window,
                                  select_kw=select_kw)
 
     def run(state, init_state, scan, ais):

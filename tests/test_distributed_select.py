@@ -289,3 +289,63 @@ def test_sharded_scan_step_matches_single_device_with_ais():
                                    err_msg=f"scan {k}")
         fused_any |= bool((ais_labels1[k] > 0).any())
     assert fused_any, "scenario never exercised AIS fusion"
+
+
+def test_sharded_dynamic_window_matches_single_device():
+    """The sharded step's on-device dynamic window must shrink the same
+    targets' windows as the single-device step (saturation is local;
+    the load-share trigger psums the global work total)."""
+    from pymht_tpu.core.tracker import scan_step
+    from pymht_tpu.core import initiator as initiator_mod
+    from pymht_tpu.parallel.sharded_tracker import make_sharded_tracker_step
+
+    shapes = TrackerShapes(max_targets=8, max_leaves=4, max_meas=16,
+                           max_ais=2, window=6)
+    params = TrackerParams(radar_period=2.5, P_d=0.9, lambda_phi=1e-6,
+                           lambda_nu=1e-6, N=4, radar_range=float('inf'),
+                           cnllr_upper_limit=1e9,
+                           score_upper_limit_scale=1e6)
+    rng = np.random.default_rng(2)
+    xs = np.zeros((8, 4), np.float32)
+    xs[0] = [0.0, 0.0, 1.0, 0.0]          # will be clutter-saturated
+    xs[1] = [200.0, 200.0, -1.0, 0.0]     # coasts (no detections)
+
+    def seed_state():
+        st = empty_state(shapes, params)
+        mask = np.zeros(8, bool)
+        mask[:2] = True
+        return insert_targets(st, jnp.asarray(xs),
+                              jnp.broadcast_to(pv.P0, (8, 4, 4)),
+                              jnp.asarray(mask), jnp.zeros(8, jnp.int32),
+                              jnp.asarray(0.0), params)
+
+    scans = []
+    for k in range(5):
+        t = 2.5 * (k + 1)
+        z = (np.array([[t, 0.0]]) + rng.normal(0, 1.5, (8, 2))
+             ).astype(np.float32)
+        zp = np.zeros((16, 2), np.float32)
+        zp[:8] = z
+        mask = np.zeros(16, bool)
+        mask[:8] = True
+        scans.append(Scan(z=jnp.asarray(zp), mask=jnp.asarray(mask),
+                          time=jnp.asarray(t, jnp.float32)))
+
+    st1, ist1 = seed_state(), initiator_mod.empty_initiator(shapes)
+    for sc in scans:
+        st1, ist1, _ = scan_step(st1, ist1, sc, empty_ais(shapes),
+                                 shapes, params, method='lagrangian',
+                                 use_ais=False, dynamic_window=True)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ('cluster',))
+    step = make_sharded_tracker_step(mesh, shapes, params,
+                                     dynamic_window=True)
+    st2, ist2 = seed_state(), initiator_mod.empty_initiator(shapes)
+    for sc in scans:
+        st2, ist2, _ = step(st2, ist2, sc, empty_ais(shapes))
+
+    tw1 = np.asarray(st1.tgt_window)[:2]
+    tw2 = np.asarray(st2.tgt_window)[:2]
+    np.testing.assert_array_equal(tw1, tw2)
+    assert tw1[0] < params.N, f"saturated target kept N: {tw1}"
+    assert tw1[1] == params.N, f"coasting target shrank: {tw1}"
