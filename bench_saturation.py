@@ -16,6 +16,13 @@ bottleneck phase at the largest T.
 
 Run:  env PYTHONPATH=/root/.axon_site:/root/repo python bench_saturation.py
 Knobs: SAT_POINTS="256,512,1024,2048" SAT_SCANS=4 SAT_REPS=3
+       SAT_BEAM=16     hypothesis beam L (8 = the degraded half-beam
+                       step — the compute-shedding variant the host
+                       roof trigger switches to, round-5)
+       SAT_PREGATE=0   radar_cand_width Km (per-target nearest-Km
+                       measurement pre-gate; 0 = off)
+Each row also reports one-to-one truth coverage + rms (Hungarian, 20 m
+gate) so degraded-mode quality cost is quantified, not asserted.
 """
 import json
 import os
@@ -30,6 +37,8 @@ POINTS = [int(x) for x in os.environ.get(
     "SAT_POINTS", "256,512,1024,2048,4096").split(",")]
 N_SCANS = int(os.environ.get("SAT_SCANS", "4"))
 REPS = int(os.environ.get("SAT_REPS", "3"))
+BEAM = int(os.environ.get("SAT_BEAM", "16"))
+PREGATE = int(os.environ.get("SAT_PREGATE", "0"))
 
 
 def run_point(T_cap):
@@ -45,9 +54,10 @@ def run_point(T_cap):
     # area ~ T keeps clutter + target density per unit area constant
     radar_range = 12000.0 * float(np.sqrt(T_cap / 1024.0))
     shapes = TrackerShapes(
-        max_targets=T_cap, max_leaves=16, max_meas=2 * T_cap,
+        max_targets=T_cap, max_leaves=BEAM, max_meas=2 * T_cap,
         max_ais=16, window=6, max_prelim=64, max_initiators=512,
-        ais_per_leaf=2)
+        ais_per_leaf=2,
+        radar_cand_width=min(PREGATE, 2 * T_cap) if PREGATE else 0)
     params = TrackerParams(radar_period=period, P_d=0.9,
                            lambda_phi=1.5e-6, lambda_nu=1e-6, N=4,
                            radar_range=radar_range)
@@ -103,12 +113,37 @@ def run_point(T_cap):
     run_full = jax.jit(lambda s, i, sc, a: scan_many(
         s, i, sc, a, shapes, params, method='lagrangian', use_ais=False))
     ms_full = timeit(run_full, st, ist, scan_b, ais_b)
+
+    # quality: one-to-one Hungarian matching per scan (20 m gate), like
+    # bench_swarm — quantifies what a degraded/pre-gated mode costs
+    from scipy.optimize import linear_sum_assignment
+    _, _, outs = jax.block_until_ready(run_full(st, ist, scan_b, ais_b))
+    track_x = np.asarray(outs.track_x)
+    track_ok = np.asarray(outs.track_mask)
+    truth = np.array([[t.cartesian_state() for t in sample]
+                      for sample in sim_list[:N_SCANS]])
+    matched, sq, GATE = 0, [], 20.0
+    for i in range(min(N_SCANS, truth.shape[0])):
+        tp = track_x[i][track_ok[i]][:, :2]
+        if not len(tp):
+            continue
+        d = np.linalg.norm(truth[i][:, None, :2] - tp[None, :, :], axis=2)
+        ri, ci = linear_sum_assignment(np.minimum(d, GATE))
+        dm = d[ri, ci]
+        hit = dm < GATE
+        matched += int(hit.sum())
+        sq.extend((dm[hit] ** 2).tolist())
+    coverage = matched / float(truth.shape[0] * truth.shape[1])
+    rms = float(np.sqrt(np.mean(sq))) if sq else float('nan')
+
     return dict(targets=T_cap, meas_per_scan=round(n_meas, 1),
+                beam=BEAM, pregate=PREGATE,
                 grow_ms=round(ms_grow, 3),
                 select_ms=round(ms_gsel - ms_grow, 3),
                 rest_ms=round(ms_full - ms_gsel, 3),
                 full_ms=round(ms_full, 3),
-                us_per_target=round(1000.0 * ms_full / T_cap, 2))
+                us_per_target=round(1000.0 * ms_full / T_cap, 2),
+                coverage=round(coverage, 4), rms_m=round(rms, 2))
 
 
 def main():

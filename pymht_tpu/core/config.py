@@ -42,12 +42,25 @@ class TrackerShapes:
     # truncation is a score beam like ais_per_leaf.  Worth ~5x on the
     # stage-1 sweep at swarm shapes (A=128); pointless for small A.
     ais_prefilter_width: int = 0
+    # Km: per-target compressed radar-measurement axis in grow
+    # (0 = off, full M).  When 0 < Km < M, each target's candidate
+    # planes run over only its Km NEAREST measurements (one top_k by
+    # distance to the selected leaf's prediction, gathered ONCE at the
+    # input side — not mid-chain), shrinking every [T,L,M]/[T,L,G,M]
+    # plane and the beam top_k by M/Km.  A score-beam approximation of
+    # the same class as ais_per_leaf: exact whenever every gated
+    # measurement of a target is among its Km nearest (true in practice
+    # — the chi2 gate radius is metres, Km-th-nearest distances are
+    # hundreds of metres at swarm densities).  Targets the O(T*M) grow
+    # wall past the 2048-target saturation knee (round-4 verdict #4).
+    radar_cand_width: int = 0
 
     def __post_init__(self):
         assert self.window >= 2
         assert self.max_leaves >= 2
         assert 0 <= self.ais_per_leaf <= self.max_ais
         assert 0 <= self.ais_prefilter_width <= self.max_ais
+        assert 0 <= self.radar_cand_width <= self.max_meas
 
     @property
     def ais_fuse_width(self):

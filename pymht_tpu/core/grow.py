@@ -95,7 +95,7 @@ def _radar_candidates_einsum(state, scan, params, A_mat, Q_mat, C, R):
 
 
 def _ais_candidates(state, scan, ais, params, G=None, n_targets=None,
-                    prefilter=0):
+                    prefilter=0, z_sub=None, zmask_sub=None):
     """Two-stage AIS+radar fusion candidates (tracker.py:417-552).
 
     Production path: the scalar-plane formulation in ops.ais_fused
@@ -107,7 +107,8 @@ def _ais_candidates(state, scan, ais, params, G=None, n_targets=None,
     A = ais.mask.shape[0]
     G = A if G is None else min(max(G, 1), A)
     return ais_candidates_planes(state, scan, ais, params, G,
-                                 n_targets=n_targets, prefilter=prefilter)
+                                 n_targets=n_targets, prefilter=prefilter,
+                                 z_sub=z_sub, zmask_sub=zmask_sub)
 
 
 def _ais_candidates_einsum(state, scan, ais, params, G=None):
@@ -247,6 +248,32 @@ def grow(state: TrackerState,
         # and parity tests.
         use_gate_kernel = False
 
+    # --- spatial pre-gate (shapes.radar_cand_width, round-5) ---------
+    # Each target's candidate planes run over only its Km nearest
+    # measurements (by distance to the selected leaf's prediction).
+    # ONE input-side top_k + z gather; every downstream plane and the
+    # beam top_k shrink by M/Km.  See config.py for the approximation
+    # contract; tools/bisect_swarm.py BISECT_PREGATE for the A/B.
+    Km = shapes.radar_cand_width
+    pregate = (not use_gate_kernel) and 0 < Km < M
+    if pregate:
+        tb0 = jnp.arange(T)
+        sel0 = jnp.clip(state.sel_leaf, 0, L - 1)
+        xr = state.leaf_x[tb0, sel0]                                 # [T,4]
+        dt0 = scan.time - state.time
+        px = xr[:, 0] + dt0 * xr[:, 2]
+        py = xr[:, 1] + dt0 * xr[:, 3]
+        d2 = ((scan.z[None, :, 0] - px[:, None]) ** 2
+              + (scan.z[None, :, 1] - py[:, None]) ** 2)             # [T,M]
+        d2 = jnp.where(scan.mask[None, :], d2, jnp.inf)
+        negd, zidx = jax.lax.top_k(-d2, Km)                          # [T,Km]
+        z_sub = scan.z[zidx]                                         # [T,Km,2]
+        zmask_sub = scan.mask[zidx] & jnp.isfinite(negd)
+        M_eff = Km
+    else:
+        z_sub = zmask_sub = zidx = None
+        M_eff = M
+
     if use_gate_kernel:
         # Fused Pallas kernel: predict + gate + score in one VMEM pass.
         from ..ops.gate_kernel import gate_and_score_pallas
@@ -270,7 +297,7 @@ def grow(state: TrackerState,
     else:
         from ..ops.ais_fused import radar_candidates_planes
         (x_bar, P_bar, K, P_hat, gate, nllr_m) = radar_candidates_planes(
-            state, scan, params)
+            state, scan, params, z_sub=z_sub, zmask_sub=zmask_sub)
 
         # --- candidate scores ---------------------------------------
         # slot 0: zero hypothesis; slots 1..M: radar measurements.
@@ -285,21 +312,22 @@ def grow(state: TrackerState,
             [zero_score[:, :, None], meas_score], axis=2)        # [T,L,1+M]
 
     use_ais = ais is not None
-    Cn_r = cand_scores.shape[2]                                      # 1 + M
+    Cn_r = cand_scores.shape[2]                                      # 1 + M_eff
     if use_ais:
         G = min(shapes.ais_fuse_width, shapes.max_ais)
         (g_ok, gate2, pure_gate, nllr1g, fused_score,
          x_bar2, z_hat2, K2g, P_ais_hat, ais_idx) = _ais_candidates(
             state, scan, ais, params, G=G, n_targets=n_targets_global,
-            prefilter=shapes.ais_prefilter_width)
+            prefilter=shapes.ais_prefilter_width,
+            z_sub=z_sub, zmask_sub=zmask_sub)
         pure_score = jnp.where(pure_gate,
                                state.leaf_cnllr[:, :, None] + nllr1g, BIG)  # [T,L,G]
         fused = jnp.where(gate2,
                           state.leaf_cnllr[:, :, None, None] + fused_score,
-                          BIG)                                       # [T,L,G,M]
+                          BIG)                                       # [T,L,G,M_eff]
         ais_block = jnp.concatenate(
-            [pure_score[..., None], fused], axis=3)                  # [T,L,G,1+M]
-        Cn = Cn_r + G * (1 + M)
+            [pure_score[..., None], fused], axis=3)                  # [T,L,G,1+M_eff]
+        Cn = Cn_r + G * (1 + M_eff)
     else:
         Cn = Cn_r
 
@@ -316,9 +344,9 @@ def grow(state: TrackerState,
     if use_ais:
         neg_r, idx_r = jax.lax.top_k(-flat_radar, L)
         glob_r = (idx_r // Cn_r) * Cn + (idx_r % Cn_r)
-        flat_ais = ais_block.reshape(T, L * G * (1 + M))
+        flat_ais = ais_block.reshape(T, L * G * (1 + M_eff))
         neg_a, idx_a = jax.lax.top_k(-flat_ais, L)
-        W_a = G * (1 + M)
+        W_a = G * (1 + M_eff)
         glob_a = (idx_a // W_a) * Cn + Cn_r + (idx_a % W_a)
         neg_m = jnp.concatenate([neg_r, neg_a], axis=1)              # [T,2L]
         glob_m = jnp.concatenate([glob_r, glob_a], axis=1)
@@ -378,14 +406,20 @@ def grow(state: TrackerState,
 
     tb = jnp.arange(T)[:, None]
     is_zero = slot == 0
-    radar_m = jnp.clip(slot - 1, 0, M - 1)                           # [T,L]
+    radar_m = jnp.clip(slot - 1, 0, M_eff - 1)                       # [T,L]
     if use_ais:
-        ais_slot = jnp.clip(slot - (1 + M), 0, G * (1 + M) - 1)
-        is_ais = slot >= (1 + M)
-        ais_g = ais_slot // (1 + M)                                  # [T,L]
-        ais_sub = ais_slot % (1 + M)                                 # 0=pure, 1+m fused
+        ais_slot = jnp.clip(slot - (1 + M_eff), 0, G * (1 + M_eff) - 1)
+        is_ais = slot >= (1 + M_eff)
+        ais_g = ais_slot // (1 + M_eff)                              # [T,L]
+        ais_sub = ais_slot % (1 + M_eff)                             # 0=pure, 1+m fused
         is_pure_ais = is_ais & (ais_sub == 0)
-        ais_m = jnp.clip(ais_sub - 1, 0, M - 1)
+        ais_m = jnp.clip(ais_sub - 1, 0, M_eff - 1)
+    # Map compressed measurement indices back to real scan indices
+    # (identity when the pre-gate is off).
+    if pregate:
+        radar_m = jnp.take_along_axis(zidx, radar_m, axis=1)
+        if use_ais:
+            ais_m = jnp.take_along_axis(zidx, ais_m, axis=1)
 
     # --- gather new leaf states -------------------------------------
     # Every parent-indexed payload is packed into ONE [T, L, D] tensor
@@ -504,7 +538,15 @@ def grow(state: TrackerState,
         time=scan.time,
     )
 
-    used = jnp.any(gate, axis=(0, 1))                                # [M]
+    if pregate:
+        # scatter the compressed gate back to the [M] axis (one scatter
+        # per scan — not in any loop body)
+        any_l = jnp.any(gate, axis=1)                                # [T,Km]
+        scat = jnp.where(any_l, zidx, M)
+        used = jnp.zeros((M + 1,), bool).at[scat.reshape(-1)].set(
+            True)[:M]
+    else:
+        used = jnp.any(gate, axis=(0, 1))                            # [M]
     gated_counts = jnp.sum(gate.astype(jnp.int32), axis=(1, 2))      # [T]
     return GrowOutputs(state=new_state, used_meas=used,
                        gated_counts=gated_counts)

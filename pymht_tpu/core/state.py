@@ -22,6 +22,7 @@ Encodings:
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -91,6 +92,86 @@ def empty_state(shapes: TrackerShapes, params: TrackerParams) -> TrackerState:
         time=jnp.asarray(0.0, f32),
         next_id=jnp.asarray(0, i32),
         lam=jnp.zeros((W * (shapes.max_meas + shapes.max_ais),), f32),
+    )
+
+
+def shrink_beam(state: TrackerState, new_L: int) -> TrackerState:
+    """Re-shape the forest to a narrower hypothesis beam (static L ->
+    new_L), keeping each target's best ``new_L`` live leaves by
+    cumulative NLLR with the currently selected leaf forced in.
+
+    This is the state half of COMPUTE-SHEDDING degradation (reference
+    __dynamicWindow, tracker.py:918-950: the point of shrinking the
+    window is to keep a scan inside the radar period).  Shrinking
+    ``tgt_window`` under static shapes narrows the surviving hypothesis
+    set but cannot reduce FLOPs; switching the step to a compiled
+    variant with half the beam actually sheds ~L/2 of grow's candidate
+    work and L/2 of every selection tensor.  Between scans leaf indices
+    are stable (grow rebuilds the beam; prune only masks), so the
+    conversion is one gather; ``sel_leaf`` is remapped so the next
+    grow's feasibility spine (zero-child of the previous selection)
+    stays intact.
+    """
+    T, L, W = state.hist_meas.shape
+    assert new_L <= L, (new_L, L)
+    if new_L == L:
+        return state
+    tb = jnp.arange(T)
+    sel = jnp.clip(state.sel_leaf, 0, L - 1)
+    sel_live = state.leaf_mask[tb, sel]
+    key = jnp.where(state.leaf_mask, state.leaf_cnllr, jnp.inf)
+    is_sel = (jnp.arange(L)[None, :] == sel[:, None]) & sel_live[:, None]
+    key = jnp.where(is_sel, -jnp.inf, key)                 # selected first
+    _, keep = jax.lax.top_k(-key, new_L)                   # [T, new_L]
+    take2 = lambda a: jnp.take_along_axis(a, keep, axis=1)
+    new_sel = jnp.argmax(keep == sel[:, None], axis=1)
+    new_sel = jnp.where(sel_live, new_sel, 0)
+    return state.replace(
+        leaf_x=jnp.take_along_axis(state.leaf_x, keep[..., None], axis=1),
+        leaf_P=jnp.take_along_axis(state.leaf_P, keep[..., None, None],
+                                   axis=1),
+        leaf_cnllr=take2(state.leaf_cnllr),
+        leaf_mask=take2(state.leaf_mask),
+        hist_meas=jnp.take_along_axis(state.hist_meas, keep[..., None],
+                                      axis=1),
+        hist_ais=jnp.take_along_axis(state.hist_ais, keep[..., None],
+                                     axis=1),
+        hist_mmsi=jnp.take_along_axis(state.hist_mmsi, keep[..., None],
+                                      axis=1),
+        hist_cnllr=jnp.take_along_axis(state.hist_cnllr, keep[..., None],
+                                       axis=1),
+        hist_x=jnp.take_along_axis(state.hist_x,
+                                   keep[..., None, None], axis=1),
+        sel_leaf=new_sel,
+        spine_leaf=new_sel,
+    )
+
+
+def expand_beam(state: TrackerState, new_L: int) -> TrackerState:
+    """Inverse conversion: widen the beam back to ``new_L`` (padding
+    with dead leaves).  Leaf order is preserved, so sel_leaf is
+    unchanged."""
+    T, L, W = state.hist_meas.shape
+    assert new_L >= L, (new_L, L)
+    if new_L == L:
+        return state
+    pad = new_L - L
+
+    def padl(a, fill):
+        shape = (T, pad) + a.shape[2:]
+        return jnp.concatenate(
+            [a, jnp.full(shape, fill, a.dtype)], axis=1)
+
+    return state.replace(
+        leaf_x=padl(state.leaf_x, 0.0),
+        leaf_P=padl(state.leaf_P, 0.0),
+        leaf_cnllr=padl(state.leaf_cnllr, 0.0),
+        leaf_mask=padl(state.leaf_mask, False),
+        hist_meas=padl(state.hist_meas, -1),
+        hist_ais=padl(state.hist_ais, 0),
+        hist_mmsi=padl(state.hist_mmsi, 0),
+        hist_cnllr=padl(state.hist_cnllr, 0.0),
+        hist_x=padl(state.hist_x, 0.0),
     )
 
 

@@ -273,12 +273,15 @@ class Tracker:
                  ais_initialization: bool = True,
                  pipeline_outputs: bool = False,
                  prune_similar: bool = False,
-                 dynamic_window: bool = False):
+                 dynamic_window: bool = False,
+                 degrade_on_overload: bool = False):
         self.shapes = shapes
         self.params = params
         self.method = method
         self.pipeline_outputs = pipeline_outputs
         self.dynamic_window = dynamic_window
+        self.degrade_on_overload = degrade_on_overload
+        self._degrade_cooldown = 0
         self._pending = None      # (device outputs, scan index)
         self.state = empty_state(shapes, params)
         self.init_state = initiator_mod.empty_initiator(shapes)
@@ -295,6 +298,19 @@ class Tracker:
         self.t0 = None
         self._empty_ais = empty_ais(shapes)   # constant, uploaded once
 
+        self._use_ais = use_ais
+        self._ais_initialization = ais_initialization
+        self._prune_similar = prune_similar
+        self._build_step()
+
+    def _build_step(self):
+        """(Re)compile the per-scan step for the CURRENT self.shapes —
+        called at construction and again by degrade()."""
+        shapes, params = self.shapes, self.params
+        method = self.method
+        use_ais, ais_init = self._use_ais, self._ais_initialization
+        prune_similar = self._prune_similar
+
         def _unpack_and_step(s, i, packed, ais):
             # packed: [M+1, 2] f32 — rows 0..M-1 measurements, row M is
             # (count, time).  One host->device transfer per scan.
@@ -306,7 +322,7 @@ class Tracker:
             scan = Scan(z=z, mask=mask, time=t)
             return scan_step(s, i, scan, ais, shapes, params,
                              method=method, use_ais=use_ais,
-                             ais_initialization=ais_initialization,
+                             ais_initialization=ais_init,
                              prune_similar=prune_similar)
 
         # Donate the carried state buffers: the step consumes and
@@ -317,6 +333,31 @@ class Tracker:
         # warning, so only donate on accelerators.
         donate = () if jax.default_backend() == 'cpu' else (0, 1)
         self._step = jax.jit(_unpack_and_step, donate_argnums=donate)
+
+    def degrade(self, beam_factor: int = 2, ais_per_leaf: Optional[int] = None,
+                min_leaves: int = 4):
+        """Switch to a compiled step with a narrower hypothesis beam —
+        COMPUTE-SHEDDING degradation (the reference's __dynamicWindow
+        exists to keep a scan inside the radar period,
+        tracker.py:918-950; under static shapes only a smaller compiled
+        variant actually reduces work).  Converts the device state with
+        state.shrink_beam (one gather) and re-jits the step.  Returns
+        True if the beam shrank.  One-way by design, like the
+        reference's window shrink."""
+        from .state import shrink_beam
+        L = self.shapes.max_leaves
+        new_L = max(min_leaves, L // beam_factor)
+        changed = new_L < L
+        if changed:
+            self.flush()
+            self.state = shrink_beam(self.state, new_L)
+            kw = dict(max_leaves=new_L)
+            if ais_per_leaf is not None:
+                kw['ais_per_leaf'] = max(0, min(ais_per_leaf,
+                                                self.shapes.max_ais))
+            self.shapes = dataclasses.replace(self.shapes, **kw)
+            self._build_step()
+        return changed
 
     # -- input padding ------------------------------------------------
     def _pad_scan(self, t, z):
@@ -436,9 +477,17 @@ class Tracker:
             jnp.asarray(float(t) - self.t0, jnp.float32), self.params)
 
     # -- main entry (reference addMeasurementList) --------------------
-    def add_measurement_list(self, t, z, ais_messages=None, **kwargs):
+    def add_measurement_list(self, t, z, ais_messages=None,
+                             check_integrity: bool = False, **kwargs):
+        """One radar scan (reference addMeasurementList,
+        tracker.py:162-307).  ``check_integrity`` mirrors the
+        reference's per-scan checkIntegrity kwarg (tracker.py:163-164,
+        215,261,289): run the structural invariants after the scan and
+        raise AssertionError on violation."""
         import time as _time
         tic = _time.time()
+        check_integrity = check_integrity or kwargs.pop(
+            'checkIntegrity', False)
         if self.t0 is None:
             # device time is relative to the first scan for fp32 safety
             self.t0 = float(t) - self.params.radar_period
@@ -461,6 +510,8 @@ class Tracker:
             dt_wall = _time.time() - tic
             self.runtime_log.append(dt_wall)
             self.runtime.record('Total', dt_wall)
+            if check_integrity:
+                self.check_integrity()
             return out
         # Single host transfer for the whole outputs tree (per-array
         # fetches are murder through a remote-device tunnel).
@@ -472,6 +523,8 @@ class Tracker:
         if self.dynamic_window:
             self._dynamic_window(dt_wall, out_np.leaf_counts,
                                  out_np.gated_counts)
+        if check_integrity:
+            self.check_integrity()
         return out_np
 
     def _dynamic_window(self, dt_wall, leaf_counts, gated_counts=None):
@@ -508,10 +561,19 @@ class Tracker:
         saturated = np.asarray(leaf_counts) >= L
         if saturated.any():
             tw = np.where(saturated, np.maximum(tw - 1, 1), tw)
-        if dt_wall > 0.8 * self.params.radar_period and warm:
+        roof = dt_wall > 0.8 * self.params.radar_period and warm
+        if roof:
             self._n_roof = max(1, getattr(self, '_n_roof', self.params.N) - 1)
             tw = np.minimum(tw, self._n_roof)
         self.state = self.state.replace(tgt_window=jnp.asarray(tw))
+        # Compute-shedding escalation: when the roof trigger fires and
+        # window shrinking alone cannot help (static shapes), switch to
+        # the half-beam compiled step.  A cooldown of 3 scans lets the
+        # new program's wall time be observed before shrinking again.
+        self._degrade_cooldown = max(0, self._degrade_cooldown - 1)
+        if roof and self.degrade_on_overload and self._degrade_cooldown == 0:
+            if self.degrade():
+                self._degrade_cooldown = 3
 
     def flush(self):
         """Absorb any pipelined outputs still pending on device."""
@@ -528,6 +590,21 @@ class Tracker:
         print(self.runtime.summary())
 
     printTimeLog = print_time_log
+
+    def profile_phases(self, t, z, ais_messages=None, record=True):
+        """Per-phase timing of one scan (reference tic/toc phases,
+        tracker.py:192-259).  The production step is one fused program,
+        so phase timing requires de-fused execution
+        (utils/timing.phase_profile); with ``record`` the results enter
+        ``self.runtime`` and are exported by xml_io.store_run exactly
+        like the reference's per-phase Runtime element
+        (tracker.py:1512-1533).  Does NOT mutate tracker state."""
+        from ..utils.timing import phase_profile
+        phases = phase_profile(self, t, z, ais_messages)
+        if record:
+            for k, v in phases.items():
+                self.runtime.record(k, v)
+        return phases
 
     def get_runtime_average(self):
         """reference getRuntimeAverage (tracker.py:958-959)."""
@@ -682,23 +759,29 @@ class Tracker:
         return seqs
 
     def get_smooth_tracks(self, em_iters: int = 0,
-                          include_terminated: bool = False):
+                          include_terminated: bool = False,
+                          em_mode: str = 'scalar'):
         """RTS-smoothed (positions, velocities, ok) per track id —
         reference getSmoothTracks (tracker.py:1273-1274,
-        pyTarget.py:580-609), pykalman EM+RTS replaced by the batched
-        lax.scan smoother.
+        pyTarget.py:580-609).
 
-        DELTA vs the reference: pykalman runs full EM with n_iter=5
-        (pyTarget.py:598-602) refitting all model matrices; here
-        ``em_iters`` defaults to 0 (pure RTS on the pv model) and EM,
-        when requested, refits only scalar process/measurement noise
-        scales (ops/smoother.py).  The pv matrices are the truth model
-        of the simulator, so the full-EM refit mostly chased noise; the
-        delta applies to every consumer, including the smoothed states
-        serialized by xml_io.store_run."""
-        from ..ops.smoother import rts_smooth
+        All tracks are padded to a common length and smoothed in ONE
+        batched device call (ops/smoother.smooth_tracks) — a per-track
+        host loop pays a dispatch round-trip per track (~30 ms through
+        a remote-device tunnel: 1000 tracks would cost ~30 s).
+
+        Reference parity: pykalman runs EM with n_iter=5
+        (pyTarget.py:598-602) refitting Q, R, x0, P0 (its default
+        em_vars with Phi/C pinned by the constructor) —
+        ``em_iters=5, em_mode='full'`` reproduces that behaviour
+        (parity-tested against a host EM oracle in
+        tests/test_smoother.py).  The default stays ``em_iters=0``
+        (pure RTS on the pv model): the pv matrices are the truth model
+        of the simulator, so the EM refit mostly chases noise."""
+        from ..ops.smoother import smooth_tracks
         time_to_idx = {t: i for i, t in enumerate(self.scan_times)}
         out = {}
+        batch = []                      # (tid, zs [n,2], mask [n], x0)
         for tid, (times, labels, states, _mmsi) in \
                 self._track_measurement_sequences(include_terminated).items():
             zs, mask = [], []
@@ -711,16 +794,37 @@ class Tracker:
                 else:
                     zs.append(self.scan_history[idx][lab - 1])
                     mask.append(True)
-            if sum(mask) < 2:
-                pos = np.where(np.array(mask)[:, None], np.array(zs), np.nan)
+            zs = np.array(zs, np.float32).reshape(-1, 2)
+            mask = np.array(mask, bool)
+            if mask.sum() < 2:
+                pos = np.where(mask[:, None], zs, np.nan)
                 out[tid] = (pos, np.full_like(pos, np.nan), False)
                 continue
-            x0 = np.asarray(states[0], np.float32)
-            xs, _ = rts_smooth(jnp.asarray(x0), pv.P0,
-                               jnp.asarray(np.array(zs, np.float32)),
-                               jnp.asarray(np.array(mask)),
-                               self.params.radar_period, em_iters=em_iters)
-            xs = np.asarray(xs)
+            batch.append((tid, zs, mask, np.asarray(states[0], np.float32)))
+        if not batch:
+            return out
+        # pad to a power-of-two length so recompiles stay bounded as
+        # tracks lengthen scan by scan (trailing masked steps do not
+        # perturb the smoothed interior: the filter coasts and the
+        # backward correction through coasted steps is identically 0).
+        n_max = max(len(b[2]) for b in batch)
+        n_pad = 1 << (n_max - 1).bit_length()
+        B = len(batch)
+        zb = np.zeros((B, n_pad, 2), np.float32)
+        mb = np.zeros((B, n_pad), bool)
+        x0b = np.zeros((B, 4), np.float32)
+        for i, (_, zs, mask, x0) in enumerate(batch):
+            zb[i, :len(mask)] = zs
+            mb[i, :len(mask)] = mask
+            x0b[i] = x0
+        P0b = np.broadcast_to(np.asarray(pv.P0, np.float32), (B, 4, 4))
+        xs_b, _ = smooth_tracks(
+            jnp.asarray(x0b), jnp.asarray(np.array(P0b)), jnp.asarray(zb),
+            jnp.asarray(mb), self.params.radar_period,
+            em_iters=em_iters, em_mode=em_mode)
+        xs_b = np.asarray(xs_b)
+        for i, (tid, zs, mask, _) in enumerate(batch):
+            xs = xs_b[i, :len(mask)]
             out[tid] = (xs[:, :2], xs[:, 2:], True)
         return out
 

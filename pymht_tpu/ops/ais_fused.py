@@ -130,7 +130,7 @@ def _quad4(inv, zt):
 
 
 def ais_candidates_planes(state, scan, ais, params, G, n_targets=None,
-                          prefilter=0):
+                          prefilter=0, z_sub=None, zmask_sub=None):
     """Drop-in replacement for grow._ais_candidates (same return tuple).
 
     state: TrackerState; scan: Scan; ais: AisBatch; G: compressed width.
@@ -340,14 +340,22 @@ def ais_candidates_planes(state, scan, ais, params, G, n_targets=None,
     i22 = s11 * rdet
     ioff = i12 + i21
 
-    zx = scan.z[:, 0][None, None, None, :]                        # [1,1,1,M]
-    zy = scan.z[:, 1][None, None, None, :]
+    if z_sub is None:
+        zx = scan.z[:, 0][None, None, None, :]                    # [1,1,1,M]
+        zy = scan.z[:, 1][None, None, None, :]
+        m_mask = scan.mask[None, None, None, :]
+    else:
+        # per-target compressed measurement axis (see
+        # radar_candidates_planes): [T,1,1,Km] broadcast over L, G
+        zx = z_sub[:, None, None, :, 0]
+        zy = z_sub[:, None, None, :, 1]
+        m_mask = zmask_sub[:, None, None, :]
     dx = zx - xb2[0][..., None]                                   # [T,L,G,M]
     dy = zy - xb2[1][..., None]
     nis2 = (i11[..., None] * dx * dx + ioff[..., None] * dx * dy
             + i22[..., None] * dy * dy)
     gate2 = ((nis2 <= params.eta2)
-             & scan.mask[None, None, None, :]
+             & m_mask
              & g_ok[..., None])
     lambda_ex = jnp.maximum(jnp.asarray(params.lambda_ex, jnp.float32),
                             1e-20)
@@ -386,12 +394,20 @@ def ais_candidates_planes(state, scan, ais, params, G, n_targets=None,
             x_bar2, z_hat2, K2, P_hat2, ais_idx)
 
 
-def radar_candidates_planes(state, scan, params):
+def radar_candidates_planes(state, scan, params, z_sub=None,
+                            zmask_sub=None):
     """Scalar-plane twin of grow._radar_candidates_einsum (same math:
     CV predict + 2x2 innovation precalc + all-pairs NIS/NLLR/gate),
     returning (x_bar, P_bar, K, P_hat, gate, nllr_m) — the subset grow
     actually consumes.  ~5 fewer dot-kernel launches per scan than the
-    einsum form."""
+    einsum form.
+
+    ``z_sub [T, Km, 2]`` / ``zmask_sub [T, Km]``: optional PER-TARGET
+    compressed measurement axis (shapes.radar_cand_width spatial
+    pre-gate) — the planes then run over [T, L, Km] instead of
+    [T, L, M].  The gather happens at the INPUT side (z only), so the
+    plane DAG stays one fusable chain (the round-3/4 lesson: mid-chain
+    gathers fragment fusion and lose)."""
     T, L = state.leaf_mask.shape
     from ..models.constants import sigmaQ_tracker
     q = float(sigmaQ_tracker)
@@ -419,14 +435,20 @@ def radar_candidates_planes(state, scan, params):
     i22 = s11 * rdet
     ioff = i12 + i21
 
-    zx = scan.z[:, 0][None, None, :]                              # [1,1,M]
-    zy = scan.z[:, 1][None, None, :]
+    if z_sub is None:
+        zx = scan.z[:, 0][None, None, :]                          # [1,1,M]
+        zy = scan.z[:, 1][None, None, :]
+        m_mask = scan.mask[None, None, :]
+    else:
+        zx = z_sub[:, None, :, 0]                                 # [T,1,Km]
+        zy = z_sub[:, None, :, 1]
+        m_mask = zmask_sub[:, None, :]
     dx = zx - xb[0][..., None]                                    # [T,L,M]
     dy = zy - xb[1][..., None]
     nis = (i11[..., None] * dx * dx + ioff[..., None] * dx * dy
            + i22[..., None] * dy * dy)
     gate = ((nis <= params.eta2)
-            & scan.mask[None, None, :]
+            & m_mask
             & state.leaf_mask[:, :, None])
     lambda_ex = jnp.maximum(jnp.asarray(params.lambda_ex, jnp.float32),
                             1e-20)

@@ -14,6 +14,25 @@ infeasible is repaired by keep-best-per-slot rounds with spine priority
 forces the zero-child of the previous global selection into each
 target's beam), so the loop always produces a feasible incumbent.
 
+Two implementations:
+
+* ``distributed_select_compact`` (production) — the round-5 default.
+  Shares core/select.py's compact contested-slot loop
+  (``_compact_lagrangian(axis_name=...)``): the contested-slot set is
+  found with ONE psum of the dense per-slot target counts, compacted to
+  [CAP] columns, and every Lagrangian iteration then all-reduces only a
+  [CAP] usage vector (+[CAP] pmin keys in repair rounds) — ~1 KB/iter
+  instead of the full-slot formulation's [n_slots] ~52 KB vectors, and
+  NO scatter into the n_slots space anywhere (the op class the
+  single-chip path abandoned for ~400 us/op on TPU).  An up-front
+  fast path (one psum'd dense usage count) skips the whole loop when
+  the per-target independent optima are globally conflict-free — the
+  dominant case on low-conflict scans, mirroring
+  core/select.select's tier 0.
+* ``distributed_lagrangian`` (kept for A/B + parity) — the round-3/4
+  full-slot formulation with scatter-built usage counts and [n_slots]
+  psum/pmin per iteration.
+
 Built on shard_map + lax.psum/pmin rather than hand-written RDMA: the
 collective pattern is explicit, the transport is XLA's.
 """
@@ -24,7 +43,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.config import TrackerShapes, TrackerParams
-from ..core.select import _slot_index, leaf_scores
+from ..core.select import (_slot_index, _hist_usage, _compact_lagrangian,
+                           leaf_scores)
 
 
 def _local_tables(state, shapes):
@@ -38,7 +58,7 @@ def distributed_lagrangian(state, shapes: TrackerShapes,
                            iters: int = 60, theta: float = 1.5,
                            patience: int = 6, repair_rounds: int = 8,
                            repair_cadence: int = 2,
-                           lam0=None):
+                           lam0=None, force_iters: bool = False):
     """Runs INSIDE shard_map: ``state`` holds this shard's targets.
 
     Returns (sel [T_local], obj_global, lb_global, feasible_global,
@@ -181,6 +201,8 @@ def distributed_lagrangian(state, shapes: TrackerShapes,
 
     def cond(carry):
         (it, lam, best_sel, best_obj, best_feas, best_lb, stale) = carry
+        if force_iters:
+            return it < iters           # A/B instrumentation only
         gap = best_obj - best_lb
         scale = 1.0 + jnp.abs(best_obj)
         converged = best_feas & (gap <= 2e-4 * scale)
@@ -201,10 +223,126 @@ def distributed_lagrangian(state, shapes: TrackerShapes,
     return best_sel, best_obj, best_lb, best_feas, lam
 
 
+def _dist_selection_feasible(state, shapes: TrackerShapes, sel, axis_name):
+    """Global feasibility of a per-target selection under target
+    sharding: dense local (window column, label) counts, ONE psum.
+    Twin of core/select._selection_feasible."""
+    T, L, W = state.hist_meas.shape
+    M, A = shapes.max_meas, shapes.max_ais
+    tb = jnp.arange(T)
+    act = state.tgt_mask
+    sm = jnp.where(act[:, None], state.hist_meas[tb, sel], -1)    # [T, W]
+    sa = jnp.where(act[:, None], state.hist_ais[tb, sel], 0)
+    cm = (sm[:, :, None] == jnp.arange(1, M + 1)).sum(axis=0)     # [W, M]
+    ca = (sa[:, :, None] == jnp.arange(1, A + 1)).sum(axis=0)     # [W, A]
+    cm = jax.lax.psum(cm, axis_name)
+    ca = jax.lax.psum(ca, axis_name)
+    return ~(jnp.any(cm > 1) | jnp.any(ca > 1))
+
+
+def distributed_select_compact(state, shapes: TrackerShapes,
+                               params: TrackerParams, axis_name: str,
+                               iters: int = 60, theta: float = 1.5,
+                               patience: int = 4, repair_rounds: int = 8,
+                               repair_cadence: int = 4,
+                               contested_cap: int = 256,
+                               lam0=None, fast_path: bool = True,
+                               force_iters: bool = False):
+    """Runs INSIDE shard_map: ``state`` holds this shard's targets.
+
+    Production distributed selection (see module docstring): fast-path
+    short-circuit, then the shared compact contested-slot Lagrangian
+    with [CAP]-sized collectives, then the same contested-cap overflow
+    guard as core/select.select_hybrid (spine retreat keeps the
+    selection feasible; the dual bound stays valid because dualising a
+    subset of constraints only loosens it).
+
+    Returns (sel [T_local], obj_global, lb_global, feasible_global,
+    lam [n_slots] — final duals, replicated, for cross-scan warm
+    starts).
+    """
+    T, L, W = state.hist_meas.shape
+    M, A = shapes.max_meas, shapes.max_ais
+    Pcols = M + A
+    tb = jnp.arange(T)
+    f = leaf_scores(state, params)
+    lam_full0 = state.lam if lam0 is None else lam0
+
+    # tier 0 fast path: independent optima, one psum'd feasibility check
+    sel0 = jnp.argmin(f, axis=1)
+    obj0 = jax.lax.psum(
+        jnp.where(state.tgt_mask, jnp.min(f, axis=1), 0.0).sum(), axis_name)
+    feas0 = _dist_selection_feasible(state, shapes, sel0, axis_name)
+
+    def fast(_):
+        return sel0, obj0, obj0, jnp.asarray(True), lam_full0
+
+    def slow(_):
+        # contested set: slots touched by live leaves of >= 2 targets
+        # GLOBALLY (one psum of the dense per-slot target counts).
+        usage = _hist_usage(state, shapes)                 # [T, W, Pcols]
+        cnt_t = jax.lax.psum(usage.sum(axis=0).astype(jnp.int32),
+                             axis_name)                    # [W, Pcols]
+        contested = (cnt_t >= 2).reshape(W * Pcols)        # [S] replicated
+        n_cont = contested.sum()
+        CAP = contested_cap
+        # compaction + inverse tables are pure functions of the psum'd
+        # ``contested`` — identical on every shard, no broadcast needed.
+        r = jnp.cumsum(contested.astype(jnp.int32)) - 1
+        onehot_c = (contested & (r < CAP))[:, None] \
+            & (r[:, None] == jnp.arange(CAP)[None, :])     # [S, CAP]
+        oc_f = onehot_c.astype(jnp.float32)
+        s_ids = jnp.arange(W * Pcols)
+        off = s_ids % Pcols
+        is_ais_s = off >= M
+        val_of = jnp.where(is_ais_s, off - M + 1, off + 1)
+        cw = (oc_f * (s_ids // Pcols)[:, None]).sum(axis=0).astype(jnp.int32)
+        cval = (oc_f * val_of[:, None]).sum(axis=0).astype(jnp.int32)
+        cais = (onehot_c & is_ais_s[:, None]).any(axis=0)  # [CAP]
+        # per-leaf contested usage (cval > 0 masks empty compact columns
+        # — see core/select.select_hybrid for why this is load-bearing)
+        wids = jnp.arange(W)[None, None, :, None]
+        m_match = (state.hist_meas[..., None] == cval) & ~cais & (cval > 0)
+        a_match = (state.hist_ais[..., None] == cval) & cais
+        eff_leaf = state.leaf_mask & state.tgt_mask[:, None]
+        use_c = ((m_match | a_match) & (wids == cw)).any(axis=2)
+        Uc = (use_c & eff_leaf[..., None]).astype(jnp.float32)  # [T,L,CAP]
+        lam_c0 = jnp.einsum('s,sc->c', lam_full0, oc_f)
+
+        sel_b, feas_b, obj_b, lb_b, lam_c = _compact_lagrangian(
+            f, Uc, lam_c0, state.spine_leaf, state.tgt_mask, eff_leaf,
+            0.0, iters=iters, theta=theta, patience=patience,
+            repair_rounds=repair_rounds, repair_cadence=repair_cadence,
+            axis_name=axis_name, force_iters=force_iters)
+        lam_full = jnp.einsum('c,sc->s', lam_c, oc_f)
+
+        # contested-cap overflow guard (core/select.select_hybrid twin)
+        ok = _dist_selection_feasible(state, shapes, sel_b, axis_name)
+        need_fb = (n_cont > CAP) & ~ok
+        spine = jnp.clip(state.spine_leaf, 0, L - 1)
+        sel_fin = jnp.where(need_fb & state.tgt_mask, spine, sel_b)
+        obj_fb = jax.lax.psum(
+            jnp.where(state.tgt_mask, f[tb, spine], 0.0).sum(), axis_name)
+        obj_fin = jnp.where(need_fb, obj_fb, obj_b)
+        feas_fin = jnp.where(
+            need_fb,
+            _dist_selection_feasible(state, shapes, sel_fin, axis_name),
+            feas_b & ok)
+        return sel_fin, obj_fin, lb_b, feas_fin, lam_full
+
+    if not fast_path:
+        return slow(None)
+    return jax.lax.cond(feas0, fast, slow, None)
+
+
 def make_distributed_select(mesh: Mesh, shapes: TrackerShapes,
                             params: TrackerParams, axis_name: str = 'cluster',
-                            iters: int = 60):
-    """jitted shard_map wrapper: TrackerState sharded on the target axis."""
+                            iters: int = 60, impl: str = 'compact',
+                            **impl_kw):
+    """jitted shard_map wrapper: TrackerState sharded on the target axis.
+
+    ``impl``: 'compact' (production, [CAP] collectives) or 'full' (the
+    round-3/4 full-slot formulation, kept for A/B and parity)."""
     from jax import shard_map
 
     def spec_of(x):
@@ -213,8 +351,12 @@ def make_distributed_select(mesh: Mesh, shapes: TrackerShapes,
         return P()
 
     def fn(state):
+        if impl == 'compact':
+            return distributed_select_compact(state, shapes, params,
+                                              axis_name, iters=iters,
+                                              **impl_kw)
         return distributed_lagrangian(state, shapes, params, axis_name,
-                                      iters=iters)
+                                      iters=iters, **impl_kw)
 
     def run(state):
         specs = jax.tree_util.tree_map(spec_of, state)

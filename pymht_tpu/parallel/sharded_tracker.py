@@ -28,7 +28,8 @@ from ..core.grow import Scan, AisBatch, empty_ais, grow
 from ..core.lifecycle import n_scan_prune, terminate
 from ..core import initiator as initiator_mod
 from ..core.tracker import _merge_new_targets
-from .distributed_select import distributed_lagrangian
+from .distributed_select import (distributed_lagrangian,
+                                 distributed_select_compact)
 
 
 def sharded_scan_step(state, init_state, scan: Scan, ais,
@@ -38,6 +39,7 @@ def sharded_scan_step(state, init_state, scan: Scan, ais,
                       ais_initialization: bool = True,
                       prune_similar: bool = False,
                       dynamic_window: bool = False,
+                      select_impl: str = 'compact',
                       select_kw=None):
     """One scan; runs INSIDE shard_map.  ``state`` holds this shard's
     target slots; ``init_state``/``scan``/``ais`` are replicated."""
@@ -61,10 +63,18 @@ def sharded_scan_step(state, init_state, scan: Scan, ais,
         state = _ps(state, shapes, params)
     used_meas = jax.lax.psum(g.used_meas.astype(jnp.int32), axis_name) > 0
 
-    # 2-3. distributed selection (psum/pmin collectives)
-    sel, obj, lb, feas, lam = distributed_lagrangian(
-        state, shapes, params, axis_name, lam0=state.lam,
-        **(select_kw or {}))
+    # 2-3. distributed selection.  'compact' (production): fast-path
+    # short-circuit + contested-slot compaction, [CAP]-sized psum/pmin
+    # per iteration; 'full': the round-3/4 [n_slots] formulation, kept
+    # for A/B (tools/ab_distributed_select.py).
+    if select_impl == 'compact':
+        sel, obj, lb, feas, lam = distributed_select_compact(
+            state, shapes, params, axis_name, lam0=state.lam,
+            **(select_kw or {}))
+    else:
+        sel, obj, lb, feas, lam = distributed_lagrangian(
+            state, shapes, params, axis_name, lam0=state.lam,
+            **(select_kw or {}))
     state = state.replace(sel_leaf=sel, lam=lam)
 
     track_x = state.leaf_x[tb, sel]
@@ -152,6 +162,7 @@ def make_sharded_tracker_step(mesh: Mesh, shapes: TrackerShapes,
                               ais_initialization: bool = True,
                               prune_similar: bool = False,
                               dynamic_window: bool = False,
+                              select_impl: str = 'compact',
                               select_kw=None):
     """jitted shard_map wrapper over one full tracker scan.
 
@@ -179,6 +190,7 @@ def make_sharded_tracker_step(mesh: Mesh, shapes: TrackerShapes,
                                  ais_initialization=ais_initialization,
                                  prune_similar=prune_similar,
                                  dynamic_window=dynamic_window,
+                                 select_impl=select_impl,
                                  select_kw=select_kw)
 
     def run(state, init_state, scan, ais):

@@ -49,6 +49,13 @@ def evaluate(tracker, sim_list, radar_period, match_threshold=20.0,
         d = np.linalg.norm(truth[:, :, :2] - np.asarray(p0), axis=2)
         in_range = d <= radar_range
 
+    # Per scan, ONE-TO-ONE matching of truth targets to track states
+    # via the Hungarian assignment (gated at match_threshold) —
+    # nearest-track matching lets one track "cover" several nearby
+    # truths, inflating coverage (round-4 verdict weak #5; same scheme
+    # as bench_swarm.py).  Ungated pairs are clamped to the gate cost so
+    # the assignment never prefers them, then discarded.
+    from scipy.optimize import linear_sum_assignment
     matched = np.zeros((S, K), bool)
     pos_err2, vel_err2 = [], []
     used_tracks = set()
@@ -56,23 +63,27 @@ def evaluate(tracker, sim_list, radar_period, match_threshold=20.0,
     last_valid = {k: 0 for k in range(K)}
     for si, tt in enumerate(truth_times):
         key = round(float(tt), 6)
-        for k in range(K):
-            if not in_range[si, k]:
-                continue
+        ks = [k for k in range(K) if in_range[si, k]]
+        for k in ks:
             last_valid[k] = si
-            best, best_tid = None, None
-            for tid, m in track_states.items():
-                if key in m:
-                    d = np.linalg.norm(m[key][:2] - truth[si, k, :2])
-                    if d < match_threshold and (best is None or d < best):
-                        best, best_tid = d, tid
-            if best is not None:
-                matched[si, k] = True
-                used_tracks.add(best_tid)
-                st = track_states[best_tid][key]
-                pos_err2.append(np.sum((st[:2] - truth[si, k, :2]) ** 2))
-                vel_err2.append(np.sum((st[2:4] - truth[si, k, 2:4]) ** 2))
-                coverage[k].append(si)
+        cand = [(tid, m[key]) for tid, m in track_states.items()
+                if key in m]
+        if not cand or not ks:
+            continue
+        tp = np.stack([st[:2] for _, st in cand])            # [C, 2]
+        d = np.linalg.norm(truth[si, ks][:, None, :2] - tp[None, :, :],
+                           axis=2)                           # [k, C]
+        ri, ci = linear_sum_assignment(np.minimum(d, match_threshold))
+        for r, c in zip(ri, ci):
+            if d[r, c] >= match_threshold:
+                continue
+            k = ks[r]
+            tid, st = cand[c]
+            matched[si, k] = True
+            used_tracks.add(tid)
+            pos_err2.append(np.sum((st[:2] - truth[si, k, :2]) ** 2))
+            vel_err2.append(np.sum((st[2:4] - truth[si, k, 2:4]) ** 2))
+            coverage[k].append(si)
 
     # track loss: a truth target is "lost" if its last matched sample is
     # more than one scan before the end while it was ever matched.

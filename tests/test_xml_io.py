@@ -101,3 +101,83 @@ def test_sinv_seeded_from_initiator_covariance():
     s_default = _sinv_sequence(times, labels, params)
     s_seeded = _sinv_sequence(times, labels, params, P0=P0_rec)
     assert not np.allclose(s_default[0], s_seeded[0], atol=1e-6)
+
+
+def test_per_phase_runtime_export(tmp_path):
+    """store_run must export one sub-element per recorded phase with
+    mean/min/max attribs and the raw series as text (reference
+    _storeRun, tracker.py:1512-1533)."""
+    tracker, sim_list, shapes, params = _small_run(tmp_path)
+    # record a de-fused per-phase profile into the runtime log
+    s_last = sim_list[-1]
+    phases = tracker.profile_phases(
+        s_last[0].time, np.zeros((0, 2), np.float32))
+    assert set(phases) >= {'Process', 'Optim', 'Terminate', 'N-Prune',
+                           'Init', 'Total'}
+    scenario = ET.Element(xml_io.SCENARIO)
+    xml_io.store_run(scenario, tracker, smooth=False, i=0)
+    rt = scenario.find(xml_io.RUN).find(xml_io.RUNTIME)
+    assert rt is not None
+    assert rt.attrib[xml_io.DESCRIPTION] == "Per iteration"
+    assert rt.attrib[xml_io.PRECISION] == str(xml_io.TIME_LOG_PRECISION)
+    tags = {e.tag for e in rt}
+    assert {'Total', 'Process', 'Optim'} <= tags
+    for e in rt:
+        assert xml_io.MEAN in e.attrib
+        assert xml_io.MIN in e.attrib
+        assert xml_io.MAX in e.attrib
+        assert e.text and '[' in e.text      # raw series serialized
+
+
+def test_store_evaluation_tags(tmp_path):
+    """Analysis-side vocabulary (xmlDefinitions.py:43-60) written from
+    utils/metrics.evaluate output."""
+    from pymht_tpu.utils.metrics import evaluate
+    tracker, sim_list, shapes, params = _small_run(tmp_path)
+    m = evaluate(tracker, sim_list, 1.0, p0=(0., 0.), radar_range=500.0)
+    scenario = ET.Element(xml_io.SCENARIO)
+    run = xml_io.store_run(scenario, tracker, smooth=False, i=0)
+    xml_io.store_evaluation(run, m)
+    assert xml_io.RMS_ERROR in run.attrib
+    assert xml_io.TRACK_PERCENT in run.attrib
+    assert xml_io.TRACK_LOSS in run.attrib
+    assert xml_io.TIME_MATCH_LENGTH in run.attrib
+    il = run.find(xml_io.INITIALIZATION_LOG)
+    assert il is not None
+    assert xml_io.CORRECT_TARGETS in il.attrib
+    assert xml_io.FALSE_TARGETS in il.attrib
+
+
+def test_batched_smooth_matches_per_track(tmp_path):
+    """get_smooth_tracks (ONE batched device call) must agree with the
+    per-track rts_smooth host loop it replaced."""
+    from pymht_tpu.ops.smoother import rts_smooth
+    from pymht_tpu.models import pv
+    import jax.numpy as jnp
+    tracker, sim_list, shapes, params = _small_run(tmp_path)
+    batched = tracker.get_smooth_tracks(include_terminated=True)
+    time_to_idx = {t: i for i, t in enumerate(tracker.scan_times)}
+    seqs = tracker._track_measurement_sequences(include_terminated=True)
+    n_checked = 0
+    for tid, (times, labels, states, _mmsi) in seqs.items():
+        zs, mask = [], []
+        for t, lab in zip(times, labels):
+            idx = time_to_idx.get(t)
+            if idx is None or lab is None or lab < 1 \
+                    or lab - 1 >= len(tracker.scan_history[idx]):
+                zs.append(np.zeros(2, np.float32)); mask.append(False)
+            else:
+                zs.append(tracker.scan_history[idx][lab - 1])
+                mask.append(True)
+        if sum(mask) < 2:
+            continue
+        xs, _ = rts_smooth(jnp.asarray(np.asarray(states[0], np.float32)),
+                           pv.P0, jnp.asarray(np.array(zs, np.float32)),
+                           jnp.asarray(np.array(mask)),
+                           params.radar_period)
+        pos, vel, ok = batched[tid]
+        assert ok
+        np.testing.assert_allclose(pos, np.asarray(xs)[:, :2],
+                                   rtol=1e-5, atol=1e-3)
+        n_checked += 1
+    assert n_checked >= 1
