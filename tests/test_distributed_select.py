@@ -349,3 +349,54 @@ def test_sharded_dynamic_window_matches_single_device():
     np.testing.assert_array_equal(tw1, tw2)
     assert tw1[0] < params.N, f"saturated target kept N: {tw1}"
     assert tw1[1] == params.N, f"coasting target shrank: {tw1}"
+
+
+def test_compact_fast_path_conflict_free():
+    """When the independent per-target optima are globally conflict-free
+    the compact distributed select must return exactly the argmin
+    selection with obj == bound (tier-0 short-circuit, round-5)."""
+    rng = np.random.default_rng(4)
+    state = empty_state(SHAPES, PARAMS)
+    # far-apart targets: no shared gates
+    xs = np.zeros((8, 4), np.float32)
+    for i in range(8):
+        xs[i, :2] = [300.0 * i, 200.0 * (i % 2)]
+        xs[i, 2:] = [1.0, 0.0]
+    state = insert_targets(state, jnp.asarray(xs),
+                           jnp.broadcast_to(pv.P0, (8, 4, 4)),
+                           jnp.ones(8, bool), jnp.zeros(8, jnp.int32),
+                           jnp.asarray(0.0), PARAMS)
+    z = (xs[:, :2] + xs[:, 2:] * 2.5
+         + rng.normal(0, 1.0, (8, 2))).astype(np.float32)
+    zp = np.zeros((16, 2), np.float32); zp[:8] = z
+    mask = np.zeros(16, bool); mask[:8] = True
+    scan = Scan(z=jnp.asarray(zp), mask=jnp.asarray(mask),
+                time=jnp.asarray(2.5, jnp.float32))
+    g = grow(state, scan, None, SHAPES, PARAMS, use_gate_kernel=False)
+    st = g.state
+
+    from pymht_tpu.core.select import leaf_scores, _independent_best
+    sel0, obj0, feas0 = _independent_best(st, SHAPES, PARAMS)
+    assert bool(feas0), "scene must be conflict-free"
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ('cluster',))
+    run = make_distributed_select(mesh, SHAPES, PARAMS, impl='compact')
+    sel, obj, lb, feas, lam = run(st)
+    assert bool(feas)
+    np.testing.assert_array_equal(np.asarray(sel), np.asarray(sel0))
+    assert abs(float(obj) - float(obj0)) < 1e-5 * (1 + abs(float(obj0)))
+    assert abs(float(obj) - float(lb)) < 1e-6 * (1 + abs(float(obj)))
+
+
+def test_compact_matches_full_impl_on_conflicts():
+    """Compact and full-slot distributed selections must agree on the
+    conflicted instance (same incumbent quality, both feasible)."""
+    state = _conflicted_state()
+    mesh = Mesh(np.array(jax.devices()[:4]), ('cluster',))
+    out_c = make_distributed_select(mesh, SHAPES, PARAMS,
+                                    impl='compact')(state)
+    out_f = make_distributed_select(mesh, SHAPES, PARAMS,
+                                    impl='full')(state)
+    assert bool(out_c[3]) and bool(out_f[3])
+    oc, of = float(out_c[1]), float(out_f[1])
+    assert abs(oc - of) < 1e-3 * (1 + abs(of)), (oc, of)

