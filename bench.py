@@ -54,7 +54,14 @@ def main():
     radar_range = 2000.0
     shapes = TrackerShapes(
         max_targets=128, max_leaves=32, max_meas=BENCH_MEAS, max_ais=8,
-        window=7, max_prelim=64, max_initiators=BENCH_MEAS)
+        window=7, max_prelim=64, max_initiators=BENCH_MEAS,
+        # Spatial pre-gate default OFF at bench shapes: the one-session
+        # A/B was directionally mixed (radar-only +0.8 ms, AIS-on
+        # -0.7 ms, sessions' dispatch floors differed 22%) — unlike the
+        # swarm/saturation shapes where Km=64 wins 1.4-1.8x decisively
+        # (SWARM_r05.json, DEGRADE_r05.json).  M=512 planes are simply
+        # not the bottleneck at T=128.
+        radar_cand_width=int(os.environ.get("BENCH_PREGATE", "0")))
     params = TrackerParams(radar_period=period, P_d=0.9,
                            lambda_phi=2e-5, lambda_nu=1e-5, N=5,
                            radar_range=radar_range)

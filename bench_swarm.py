@@ -44,7 +44,11 @@ def main():
     shapes = TrackerShapes(
         max_targets=1024, max_leaves=16, max_meas=M_CAP, max_ais=A_CAP,
         window=6, max_prelim=64, max_initiators=512, ais_per_leaf=2,
-        ais_prefilter_width=int(os.environ.get("SWARM_PREFILTER", "0")))
+        ais_prefilter_width=int(os.environ.get("SWARM_PREFILTER", "0")),
+        # round-5 default: per-target nearest-64 spatial pre-gate —
+        # 20.2 -> 11.9 ms/scan AIS-on at identical decisions (same
+        # alive/coverage/rms/dual-gap; oracle-verified in SWARM_r05)
+        radar_cand_width=int(os.environ.get("SWARM_PREGATE", "64")))
     params = TrackerParams(radar_period=period, P_d=0.9,
                            lambda_phi=1.5e-6, lambda_nu=1e-6, N=4,
                            radar_range=radar_range)
@@ -186,6 +190,29 @@ def main():
         if np.isfinite(obj_o):
             oracle_gap = (obj_dev - obj_o) / max(1.0, abs(obj_o))
 
+    # Batched smoothing at swarm scale (round-4 verdict next-step #6):
+    # all tracks RTS-smoothed in ONE device dispatch.  A per-track host
+    # loop costs a ~30 ms tunnel round-trip each -> ~30 s for 1000
+    # tracks; this measures the batched path.
+    from pymht_tpu.ops.smoother import smooth_tracks
+    from pymht_tpu.models import pv as pv_model
+    Nsm = max(N_SCANS, 2)
+    x0b = np.array([t.state for t in targets], np.float32)
+    zsb = np.stack([[s[k].cartesian_state()[:2]
+                     for s in sim_list[:Nsm]]
+                    for k in range(n_tgt)]).astype(np.float32)
+    mkb = rng.random((n_tgt, Nsm)) < 0.9
+    P0b = jnp.broadcast_to(pv_model.P0, (n_tgt, 4, 4))
+    sm_fn = jax.jit(lambda a, b, c, d: smooth_tracks(a, b, c, d, period))
+    out_sm = jax.block_until_ready(sm_fn(jnp.asarray(x0b), P0b,
+                                         jnp.asarray(zsb),
+                                         jnp.asarray(mkb)))
+    t0 = time.time()
+    out_sm = jax.block_until_ready(sm_fn(jnp.asarray(x0b), P0b,
+                                         jnp.asarray(zsb),
+                                         jnp.asarray(mkb)))
+    smooth_ms = round((time.time() - t0) * 1000.0, 2)
+
     print(json.dumps({
         "metric": "ms_per_scan_1000tgt_ais_swarm",
         "value": round(ms, 3),
@@ -202,6 +229,7 @@ def main():
         "truth_coverage": round(coverage, 4),
         "rms_matched_m": round(rms, 3),
         "dynamic_window": win_stats,
+        "smooth_1000tracks_one_dispatch_ms": smooth_ms,
         "hardware": "1x v5e (axon tunnel), device-resident streaming",
     }))
 
