@@ -47,7 +47,11 @@ def load(name, default=None):
 def main():
     ab = load('DIST_SELECT_AB_r05.json')
     swarm = load('SWARM_r05.json') or load('SWARM_r04.json')
-    sat = load('SATURATION_r05.json') or load('SATURATION_r04.json')
+    # need the phase split at T=1024; the r05 saturation artifact only
+    # records the 2048/4096 variant rows, so fall back per-row
+    sat = load('SATURATION_r05.json') or {}
+    if not any(r.get('targets') == 1024 for r in sat.get('points', [])):
+        sat = load('SATURATION_r04.json')
 
     # ---- measured single-chip inputs --------------------------------
     t1_ms = swarm['ais_on']['value']              # ms/scan, T=1024 swarm
