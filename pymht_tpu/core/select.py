@@ -131,14 +131,45 @@ def target_usage(state: TrackerState, shapes: TrackerShapes):
 # Clustering (reference tracker.py:961-974)
 # ----------------------------------------------------------------------
 
+CLUSTER_COMPACT_CAP = 1024
+
+
 def cluster(state: TrackerState, shapes: TrackerShapes, usage=None):
     """Connected components of the target–measurement sharing graph via
     min-label propagation with pointer jumping (log-depth convergence
-    even for chain-shaped clusters)."""
+    even for chain-shaped clusters).
+
+    The adjacency "targets t,u share >=1 slot" only ever involves
+    CONTESTED slots (used by >=2 targets — sharing IS being contested),
+    so the [T, n_slots] usage matrix is first compacted to the
+    contested columns (one sort + one gather) and the adjacency matmul
+    runs at [T, C] x [C, T] with C = CLUSTER_COMPACT_CAP instead of
+    [T, n_slots]: at T=8192 / n_slots=98k that is the difference
+    between a 6.6 TFLOP and a 0.03 TFLOP matmul (the round-5 T=8192
+    probe measured select at 133 ms of a 222 ms scan, dominated by
+    this).  When more than C slots are contested the exact full matmul
+    runs instead (lax.cond — compiled once, executed only on
+    overflow)."""
     use = _hist_usage(state, shapes) if usage is None else usage
     T = use.shape[0]
     usef = use.reshape(T, -1).astype(jnp.float32)
-    adj = (usef @ usef.T) > 0                              # share >=1 slot
+    S = usef.shape[1]
+    cnt = usef.sum(axis=0)
+    contested = cnt >= 2.0
+    n_cont = contested.sum()
+    CAPc = min(CLUSTER_COMPACT_CAP, S)
+    slot_ids = jnp.where(contested, jnp.arange(S), S)
+    idx = jnp.sort(slot_ids)[:CAPc]                        # [CAPc]
+    uc = (jnp.take(usef, jnp.clip(idx, 0, S - 1), axis=1)
+          * (idx < S)[None, :])                            # [T, CAPc]
+
+    def adj_compact(_):
+        return (uc @ uc.T) > 0
+
+    def adj_full(_):
+        return (usef @ usef.T) > 0
+
+    adj = _cond(n_cont <= CAPc, adj_compact, adj_full, None)
     adj = adj & state.tgt_mask[:, None] & state.tgt_mask[None, :]
     adj = adj | (jnp.eye(T, dtype=bool) & state.tgt_mask[:, None])
 

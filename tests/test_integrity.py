@@ -62,3 +62,54 @@ def test_integrity_with_ais():
     mmsis = np.asarray(st.tgt_mmsi)[np.asarray(st.tgt_mask)]
     hist_mmsi = np.asarray(st.hist_mmsi)
     assert (mmsis > 0).any() or (hist_mmsi > 0).any()
+
+
+def test_cluster_compact_adjacency_matches_full():
+    """cluster() compacts the adjacency matmul to contested slots
+    (round-5, the T=8192 select bottleneck); labels must equal the
+    full-slot adjacency both on the compact path and via the overflow
+    fallback (CLUSTER_COMPACT_CAP forced tiny)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pymht_tpu.core import select as sel_mod
+    from pymht_tpu.core.config import TrackerShapes, TrackerParams
+    from pymht_tpu.core.state import empty_state, insert_targets
+    from pymht_tpu.core.grow import Scan, grow
+    from pymht_tpu.models import pv
+
+    shapes = TrackerShapes(max_targets=8, max_leaves=8, max_meas=16,
+                           max_ais=2, window=5)
+    params = TrackerParams(radar_period=2.5, P_d=0.85, lambda_phi=1e-5,
+                           lambda_nu=1e-5, N=3)
+    rng = np.random.default_rng(2)
+    st = empty_state(shapes, params)
+    xs = np.zeros((8, 4), np.float32)
+    for i in range(8):
+        xs[i, :2] = [25 * (i // 2), 5 * (i % 2)]   # 4 close pairs
+        xs[i, 2:] = [1.0, 0.0]
+    st = insert_targets(st, jnp.asarray(xs),
+                        jnp.broadcast_to(pv.P0, (8, 4, 4)),
+                        jnp.ones(8, bool), jnp.zeros(8, jnp.int32),
+                        jnp.asarray(0.0), params)
+    z = np.concatenate([
+        xs[:, :2] + xs[:, 2:] * 2.5 + rng.normal(0, 1.0, (8, 2)),
+        xs[::2, :2] + xs[::2, 2:] * 2.5 + rng.normal(0, 1.5, (4, 2)),
+        rng.normal(0, 300, (4, 2))]).astype(np.float32)
+    scan = Scan(z=jnp.asarray(z), mask=jnp.ones(16, bool),
+                time=jnp.asarray(2.5, jnp.float32))
+    st = grow(st, scan, None, shapes, params).state
+
+    labels_c, n_c = sel_mod.cluster(st, shapes)        # compact path
+    orig = sel_mod.CLUSTER_COMPACT_CAP
+    try:
+        sel_mod.CLUSTER_COMPACT_CAP = 1               # force fallback
+        labels_f, n_f = sel_mod.cluster(st, shapes)
+    finally:
+        sel_mod.CLUSTER_COMPACT_CAP = orig
+    np.testing.assert_array_equal(np.asarray(labels_c),
+                                  np.asarray(labels_f))
+    assert int(n_c) == int(n_f)
+    # sanity: the scene actually has multi-target clusters
+    from pymht_tpu.core.select import cluster_sizes
+    cs = np.asarray(cluster_sizes(labels_c, st.tgt_mask))
+    assert cs.max() >= 2
