@@ -98,26 +98,50 @@ def _slot_index(state: TrackerState, shapes: TrackerShapes):
     return slots, n_slots
 
 
+# Above this many virtual elements in the dense-compare formulation,
+# _hist_usage switches to the scatter build: the dense DAG does
+# T*L*W*(M+A) compare-ops (13e9 at T=8192/M=16k — measured ~130 ms of
+# the round-5 select probe) while the scatter writes only T*L*W
+# indices (~786k, one ~400us scatter op).  At bench/swarm scale the
+# dense form stays faster (few-hundred-us fused chain vs the scatter's
+# fixed op cost) — the round-2/3 cost-model rule, which this threshold
+# encodes instead of hard-coding either choice.
+_USAGE_DENSE_LIMIT = 1 << 29
+
+
 def _hist_usage(state: TrackerState, shapes: TrackerShapes,
                 tgt_filter=None):
-    """Dense per-target slot-usage tensor [T, W, M+A] (bool): does any
-    live leaf of target t associate radar measurement m (column block
+    """Per-target slot-usage tensor [T, W, M+A] (bool): does any live
+    leaf of target t associate radar measurement m (column block
     [0, M)) or AIS message a (block [M, M+A)) at window column w?
 
     Slot ordering matches ``_slot_index`` (slot id = w*(M+A) + block
-    offset).  Built with dense compares — no scatter/gather, which on
-    TPU cost ~400us for these sizes while dense compares are ~30us.
-    """
+    offset).  Formulation switches on problem size (see
+    _USAGE_DENSE_LIMIT)."""
     T, L, W = state.hist_meas.shape
     M, A = shapes.max_meas, shapes.max_ais
     live = state.leaf_mask
     if tgt_filter is not None:
         live = live & tgt_filter[:, None]
-    um = ((state.hist_meas[..., None] == jnp.arange(1, M + 1))
-          & live[:, :, None, None]).any(axis=1)            # [T, W, M]
-    ua = ((state.hist_ais[..., None] == jnp.arange(1, A + 1))
-          & live[:, :, None, None]).any(axis=1)            # [T, W, A]
-    return jnp.concatenate([um, ua], axis=2)               # [T, W, M+A]
+    if T * L * W * (M + A) <= _USAGE_DENSE_LIMIT:
+        um = ((state.hist_meas[..., None] == jnp.arange(1, M + 1))
+              & live[:, :, None, None]).any(axis=1)        # [T, W, M]
+        ua = ((state.hist_ais[..., None] == jnp.arange(1, A + 1))
+              & live[:, :, None, None]).any(axis=1)        # [T, W, A]
+        return jnp.concatenate([um, ua], axis=2)           # [T, W, M+A]
+    P = M + A
+    n = T * W * P
+    base = ((jnp.arange(T)[:, None, None] * W
+             + jnp.arange(W)[None, None, :]) * P)          # [T,1,W]
+    live3 = live[:, :, None]
+    mi = jnp.where((state.hist_meas >= 1) & live3,
+                   base + state.hist_meas - 1, n)          # [T,L,W]
+    ai = jnp.where((state.hist_ais >= 1) & live3,
+                   base + M + state.hist_ais - 1, n)
+    out = jnp.zeros((n + 1,), bool)
+    out = out.at[mi.reshape(-1)].set(True)
+    out = out.at[ai.reshape(-1)].set(True)
+    return out[:n].reshape(T, W, P)
 
 
 def target_usage(state: TrackerState, shapes: TrackerShapes):
@@ -131,7 +155,12 @@ def target_usage(state: TrackerState, shapes: TrackerShapes):
 # Clustering (reference tracker.py:961-974)
 # ----------------------------------------------------------------------
 
-CLUSTER_COMPACT_CAP = 1024
+# Sized with headroom over measured contested counts: the T=8192
+# saturation scene has 1081 contested slots (tools/probe_select_big.py)
+# — at 1024 the cap overflowed and every scan silently paid the full
+# [T, n_slots] fallback matmul (~13 TFLOP = ~150 ms of the 8192-target
+# select).  2048 keeps the compact matmul at ~137 GMAC.
+CLUSTER_COMPACT_CAP = 2048
 
 
 def cluster(state: TrackerState, shapes: TrackerShapes, usage=None):
@@ -152,21 +181,25 @@ def cluster(state: TrackerState, shapes: TrackerShapes, usage=None):
     overflow)."""
     use = _hist_usage(state, shapes) if usage is None else usage
     T = use.shape[0]
-    usef = use.reshape(T, -1).astype(jnp.float32)
-    S = usef.shape[1]
-    cnt = usef.sum(axis=0)
-    contested = cnt >= 2.0
+    useb = use.reshape(T, -1)                              # [T, S] bool
+    S = useb.shape[1]
+    cnt = useb.sum(axis=0)                                 # int32
+    contested = cnt >= 2
     n_cont = contested.sum()
     CAPc = min(CLUSTER_COMPACT_CAP, S)
     slot_ids = jnp.where(contested, jnp.arange(S), S)
     idx = jnp.sort(slot_ids)[:CAPc]                        # [CAPc]
-    uc = (jnp.take(usef, jnp.clip(idx, 0, S - 1), axis=1)
-          * (idx < S)[None, :])                            # [T, CAPc]
+    # stay bool until after the gather: casting [T, S] to f32 up front
+    # materialises a 4x bigger matrix (3.2 GB at T=8192) that only the
+    # rare overflow fallback needs
+    uc = (jnp.take(useb, jnp.clip(idx, 0, S - 1), axis=1)
+          & (idx < S)[None, :]).astype(jnp.float32)        # [T, CAPc]
 
     def adj_compact(_):
         return (uc @ uc.T) > 0
 
     def adj_full(_):
+        usef = useb.astype(jnp.float32)
         return (usef @ usef.T) > 0
 
     adj = _cond(n_cont <= CAPc, adj_compact, adj_full, None)
@@ -967,16 +1000,29 @@ def _independent_best(state: TrackerState, shapes: TrackerShapes,
 
 def _selection_feasible(state: TrackerState, shapes: TrackerShapes, sel):
     """True iff the per-target selection ``sel`` uses every (window
-    column, measurement/AIS) slot at most once — dense, no scatters."""
+    column, measurement/AIS) slot at most once.  Dense compares below
+    _USAGE_DENSE_LIMIT virtual elements, scatter-add counts above (the
+    same size switch as _hist_usage — T*W writes vs T*W*(M+A)
+    compares)."""
     T, L, W = state.hist_meas.shape
     M, A = shapes.max_meas, shapes.max_ais
     tb = jnp.arange(T)
     act = state.tgt_mask
     sm = jnp.where(act[:, None], state.hist_meas[tb, sel], -1)    # [T, W]
     sa = jnp.where(act[:, None], state.hist_ais[tb, sel], 0)
-    cm = (sm[:, :, None] == jnp.arange(1, M + 1)).sum(axis=0)     # [W, M]
-    ca = (sa[:, :, None] == jnp.arange(1, A + 1)).sum(axis=0)     # [W, A]
-    return ~(jnp.any(cm > 1) | jnp.any(ca > 1))
+    if T * W * (M + A) <= _USAGE_DENSE_LIMIT:
+        cm = (sm[:, :, None] == jnp.arange(1, M + 1)).sum(axis=0)  # [W, M]
+        ca = (sa[:, :, None] == jnp.arange(1, A + 1)).sum(axis=0)  # [W, A]
+        return ~(jnp.any(cm > 1) | jnp.any(ca > 1))
+    P = M + A
+    n = W * P
+    base_w = jnp.arange(W)[None, :] * P                            # [1, W]
+    smi = jnp.where(sm >= 1, base_w + sm - 1, n)                   # [T, W]
+    sai = jnp.where(sa >= 1, base_w + M + sa - 1, n)
+    cnt = jnp.zeros((n + 1,), jnp.int32)
+    cnt = cnt.at[smi.reshape(-1)].add(1)
+    cnt = cnt.at[sai.reshape(-1)].add(1)
+    return ~jnp.any(cnt[:n] > 1)
 
 
 def select(state: TrackerState, shapes: TrackerShapes, params: TrackerParams,

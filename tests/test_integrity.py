@@ -113,3 +113,55 @@ def test_cluster_compact_adjacency_matches_full():
     from pymht_tpu.core.select import cluster_sizes
     cs = np.asarray(cluster_sizes(labels_c, st.tgt_mask))
     assert cs.max() >= 2
+
+
+def test_usage_and_feasibility_scatter_path_parity():
+    """_hist_usage / _selection_feasible switch to scatter builds above
+    _USAGE_DENSE_LIMIT (round-5 T=8192 select fix); forced small, the
+    scatter formulation must equal the dense one exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pymht_tpu.core import select as sel_mod
+    from pymht_tpu.core.config import TrackerShapes, TrackerParams
+    from pymht_tpu.core.state import empty_state, insert_targets
+    from pymht_tpu.core.grow import Scan, grow
+    from pymht_tpu.models import pv
+
+    shapes = TrackerShapes(max_targets=8, max_leaves=8, max_meas=16,
+                           max_ais=2, window=5)
+    params = TrackerParams(radar_period=2.5, P_d=0.85, lambda_phi=1e-5,
+                           lambda_nu=1e-5, N=3)
+    rng = np.random.default_rng(6)
+    st = empty_state(shapes, params)
+    xs = np.zeros((8, 4), np.float32)
+    for i in range(8):
+        xs[i, :2] = [22 * (i // 2), 4 * (i % 2)]
+        xs[i, 2:] = [1.0, 0.2]
+    st = insert_targets(st, jnp.asarray(xs),
+                        jnp.broadcast_to(pv.P0, (8, 4, 4)),
+                        jnp.ones(8, bool), jnp.zeros(8, jnp.int32),
+                        jnp.asarray(0.0), params)
+    z = np.concatenate([
+        xs[:, :2] + xs[:, 2:] * 2.5 + rng.normal(0, 1.0, (8, 2)),
+        rng.normal(0, 200, (8, 2))]).astype(np.float32)
+    scan = Scan(z=jnp.asarray(z), mask=jnp.ones(16, bool),
+                time=jnp.asarray(2.5, jnp.float32))
+    st = grow(st, scan, None, shapes, params).state
+
+    dense_u = np.asarray(sel_mod._hist_usage(st, shapes))
+    sel0 = jnp.argmin(sel_mod.leaf_scores(st, params), axis=1)
+    dense_f = bool(sel_mod._selection_feasible(st, shapes, sel0))
+    orig = sel_mod._USAGE_DENSE_LIMIT
+    try:
+        sel_mod._USAGE_DENSE_LIMIT = 0      # force scatter builds
+        scat_u = np.asarray(sel_mod._hist_usage(st, shapes))
+        scat_f = bool(sel_mod._selection_feasible(st, shapes, sel0))
+        # and the whole hybrid must still select identically
+        res_s = sel_mod.select(st, shapes, params, method='lagrangian')
+    finally:
+        sel_mod._USAGE_DENSE_LIMIT = orig
+    res_d = sel_mod.select(st, shapes, params, method='lagrangian')
+    np.testing.assert_array_equal(dense_u, scat_u)
+    assert dense_f == scat_f
+    np.testing.assert_array_equal(np.asarray(res_d.sel),
+                                  np.asarray(res_s.sel))

@@ -86,12 +86,19 @@ def main():
         st, per(scan_b, N_SCANS - 1)))
     state = g.state
 
-    # ---- host diagnostics -------------------------------------------
-    usage = np.asarray(sel_mod._hist_usage(state, shapes))
-    per_slot = usage.sum(axis=0)                  # [W, M+A]
-    n_cont = int((per_slot >= 2).sum())
+    # ---- diagnostics (jitted: _hist_usage's [T,L,W,M] intermediate
+    # only stays virtual when XLA fuses it into the reductions) --------
     from pymht_tpu.core.select import _independent_best
-    _, _, feas0 = _independent_best(state, shapes, params)
+
+    @jax.jit
+    def _diag(s):
+        use = sel_mod._hist_usage(s, shapes)
+        n_cont = (use.sum(axis=0) >= 2).sum()
+        _, _, feas0 = _independent_best(s, shapes, params)
+        return n_cont, feas0
+
+    n_cont_d, feas0 = jax.block_until_ready(_diag(state))
+    n_cont = int(n_cont_d)
     diag = {'T': T_CAP, 'live_targets': int(np.asarray(
                 state.tgt_mask).sum()),
             'live_leaves': int(np.asarray(state.leaf_mask).sum()),
