@@ -456,6 +456,83 @@ class Tracker:
                          mask=jnp.asarray(a_mk))
         return scan_b, ais_b
 
+    def stream(self, scans, ais_groups=None, chunk: int = 16,
+               compute_clusters: bool = False,
+               dynamic_window: bool = False):
+        """Device-resident streaming with host supervision: process
+        ``chunk`` scans per dispatch (``scan_many`` — the per-dispatch
+        relay cost amortises across the chunk; the production pattern
+        of examples/demo_streaming_deployment.py), absorb every scan's
+        outputs into the same per-track archives as
+        ``add_measurement_list``, and between chunks apply the
+        host-side wall-clock supervision (runtime log/watchdog, and —
+        with ``degrade_on_overload`` — the roof-triggered switch to the
+        half-beam compiled step; wall-clock triggers can only live
+        where wall clocks exist, reference tracker.py:918-950).
+
+        Returns the list of per-chunk stacked StepOutputs (host numpy).
+        """
+        import time as _time
+        scans = list(scans)
+        if not scans:
+            return []
+        if self.t0 is None:
+            self.t0 = float(scans[0].time) - self.params.radar_period
+        if not hasattr(self, '_stream_jits'):
+            self._stream_jits = {}
+        outs_all = []
+        i0 = 0
+        n_chunks_done = 0
+        while i0 < len(scans):
+            sub = scans[i0:i0 + chunk]
+            group = (ais_groups[i0:i0 + chunk]
+                     if ais_groups is not None else None)
+            scan_b, ais_b = self.make_stream_inputs(sub, group)
+            shapes, params = self.shapes, self.params
+            key = (shapes, self.method, compute_clusters, dynamic_window,
+                   len(sub))
+            fn = self._stream_jits.get(key)
+            if fn is None:
+                use_ais = self._use_ais
+                ais_init = self._ais_initialization
+                method = self.method
+
+                def fn(s, i, sc, a, shapes=shapes, params=params):
+                    return scan_many(s, i, sc, a, shapes, params,
+                                     method=method, use_ais=use_ais,
+                                     ais_initialization=ais_init,
+                                     compute_clusters=compute_clusters,
+                                     dynamic_window=dynamic_window)
+
+                fn = jax.jit(fn)
+                self._stream_jits[key] = fn
+            tic = _time.time()
+            self.state, self.init_state, outs = fn(
+                self.state, self.init_state, scan_b, ais_b)
+            outs_np = jax.device_get(outs)
+            dt_wall = _time.time() - tic
+            per_scan = dt_wall / len(sub)
+            for j, s in enumerate(sub):
+                self.scan_history.append(
+                    np.asarray(s.measurements, np.float32).reshape(-1, 2))
+                self.ais_history.append(
+                    list(group[j]) if group is not None and j < len(group)
+                    else [])
+                self.scan_times.append(float(s.time) - self.t0)
+                out_j = jax.tree_util.tree_map(lambda x: x[j], outs_np)
+                self._absorb_outputs(out_j, n_scans=len(self.scan_times))
+                self.runtime_log.append(per_scan)
+                self.runtime.record('Total', per_scan)
+            # supervision between chunks; first chunk's wall time is
+            # compile-dominated, never a load signal
+            if (n_chunks_done >= 1 and self.degrade_on_overload
+                    and per_scan > 0.8 * params.radar_period):
+                self.degrade()      # next chunk recompiles at L/2
+            n_chunks_done += 1
+            i0 += chunk
+            outs_all.append(outs_np)
+        return outs_all
+
     def pre_initialize(self, t, states, mmsi=None):
         """Seed confirmed targets from known initial states (reference
         preInitialize, tracker.py:139-145)."""

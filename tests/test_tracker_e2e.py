@@ -225,3 +225,51 @@ def test_zero_clutter_density_stays_finite():
     cn = np.asarray(tracker.state.leaf_cnllr)
     ok = np.asarray(tracker.state.leaf_mask)
     assert np.all(np.isfinite(cn[ok]))
+
+
+def test_stream_matches_stepped_tracker():
+    """Tracker.stream (chunked scan_many + archive absorption) must
+    produce the same tracks/archives as per-scan add_measurement_list
+    (round-5 streaming supervision API)."""
+    import numpy as np
+    from pymht_tpu.core.config import TrackerShapes, TrackerParams
+    from pymht_tpu.core.tracker import Tracker
+    from pymht_tpu.utils import simulator as sim
+
+    period = 2.5
+    shapes = TrackerShapes(max_targets=8, max_leaves=16, max_meas=16,
+                           max_ais=2, window=6, max_prelim=8,
+                           max_initiators=16)
+    params = TrackerParams(radar_period=period, P_d=0.9, lambda_phi=1e-7,
+                           lambda_nu=1e-6, radar_range=600.0)
+    rng = np.random.default_rng(11)
+    targets = sim.generate_initial_targets(rng, 3, (0., 0.), 300.0,
+                                           0.9, 0.1)
+    sim_list = sim.simulate_targets(rng, targets, sim_time=10 * period,
+                                    dt=period)
+    scans = sim.simulate_scans(rng, sim_list, period, sigma_R=1.5,
+                               lambda_phi=1e-7, radar_range=600.0,
+                               p0=(0., 0.), lambda_local=0.05)
+
+    t1 = Tracker(shapes, params, method='lagrangian', use_ais=False)
+    for s in scans:
+        t1.add_measurement_list(s.time, s.measurements)
+
+    t2 = Tracker(shapes, params, method='lagrangian', use_ais=False)
+    outs = t2.stream(scans, chunk=3)
+    assert len(outs) == (len(scans) + 2) // 3
+    assert len(t2.scan_times) == len(scans)
+
+    tr1, tr2 = t1.get_tracks(), t2.get_tracks()
+    assert set(tr1) == set(tr2), (sorted(tr1), sorted(tr2))
+    for tid in tr1:
+        a, b = tr1[tid], tr2[tid]
+        assert a['confirmed_times'] == b['confirmed_times'], tid
+        np.testing.assert_allclose(
+            np.array(a['confirmed_states'], np.float32),
+            np.array(b['confirmed_states'], np.float32),
+            atol=1e-5, err_msg=str(tid))
+        assert a['confirmed_meas'] == b['confirmed_meas'], tid
+        assert a['window_meas'] == b['window_meas'], tid
+    # terminated archives agree too
+    assert set(t1.terminated) == set(t2.terminated)
