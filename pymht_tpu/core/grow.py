@@ -266,9 +266,16 @@ def grow(state: TrackerState,
         d2 = ((scan.z[None, :, 0] - px[:, None]) ** 2
               + (scan.z[None, :, 1] - py[:, None]) ** 2)             # [T,M]
         d2 = jnp.where(scan.mask[None, :], d2, jnp.inf)
-        negd, zidx = jax.lax.top_k(-d2, Km)                          # [T,Km]
+        if shapes.pregate_approx:
+            # TPU-optimized partial reduce: ~4x cheaper than lax.top_k
+            # at [8192, 16384] (see config.pregate_approx contract)
+            dvals, zidx = jax.lax.approx_min_k(d2, Km)               # [T,Km]
+            valid_k = jnp.isfinite(dvals)
+        else:
+            negd, zidx = jax.lax.top_k(-d2, Km)
+            valid_k = jnp.isfinite(negd)
         z_sub = scan.z[zidx]                                         # [T,Km,2]
-        zmask_sub = scan.mask[zidx] & jnp.isfinite(negd)
+        zmask_sub = scan.mask[zidx] & valid_k
         M_eff = Km
     else:
         z_sub = zmask_sub = zidx = None

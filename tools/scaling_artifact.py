@@ -134,7 +134,7 @@ def main():
     t1 = None
     hlo_inv = None
     out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), 'SCALING_r04.json')
+        os.path.abspath(__file__))), os.environ.get('SCALING_OUT', 'SCALING_r05.json'))
     skip_timing = (os.environ.get('SKIP_TIMING', '0') == '1'
                    and os.path.exists(out_path))
     if skip_timing:
@@ -217,14 +217,17 @@ def main():
         'cluster_strong_scaling': rows,
         'collectives': hlo_inv,
         'analysis': (
-            'Per selection iteration the cluster axis psums the '
-            f'{n_slots}-float usage vector (~{n_slots*4/1024:.0f} KB) '
-            'plus O(T) repair keys; at <=60 iterations that is '
-            f'~{60*n_slots*4/1e6:.1f} MB/scan of all-reduce payload — '
-            'microseconds on a v5e ICI ring vs the ~23 ms step, which '
-            'is the structural basis for the >=80% multi-chip '
-            'efficiency target. Scenario weak scaling (bench_scaling) '
-            'adds zero cross-scenario collectives.'),
+            'Round 5: the sharded step uses the compact contested-slot '
+            'selection, so per iteration the cluster axis all-reduces '
+            'only [CAP]-sized vectors (~7 KB total across the 10 '
+            'reduces in the while bodies, vs ~366 KB for the round-4 '
+            f'full-slot formulation over n_slots={n_slots}; 50.9x, '
+            'DIST_SELECT_AB_r05.json) plus ~220 KB of one-shot psums '
+            'per scan (contested counts, feasibility, measurement '
+            'usage) — microseconds on a v5e ICI ring vs the ~13 ms '
+            'step; EFFICIENCY_MODEL_r05.json composes this with '
+            'measured phase times.  Scenario weak scaling '
+            '(bench_scaling) adds zero cross-scenario collectives.'),
     }
     rows_path = os.environ.get('SCALING_ROWS')
     if rows_path and os.path.exists(rows_path):
@@ -232,7 +235,7 @@ def main():
             art['scenario_weak_scaling'] = [
                 json.loads(line) for line in f if line.strip()]
     out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), 'SCALING_r04.json')
+        os.path.abspath(__file__))), os.environ.get('SCALING_OUT', 'SCALING_r05.json'))
     with open(out_path, 'w') as f:
         json.dump(art, f, indent=1)
     print('wrote', out_path, flush=True)
