@@ -16,6 +16,14 @@ Shows how the pieces a deployed tracker needs compose:
      chunk (one transfer), and quality is scored with one-to-one
      truth matching.
 
+This is the LOW-LEVEL pattern (explicit scan_many + checkpoints).  The
+high-level equivalent is ``Tracker.stream(scans, ais_groups, chunk=N)``
+(round 5): same chunked dispatches, plus full per-track archive
+absorption and host supervision between chunks (wall-clock roof ->
+half-beam degrade when ``degrade_on_overload=True``).  At swarm/large
+scale also set ``TrackerShapes(radar_cand_width=64)`` — the spatial
+pre-gate that carries the round-5 headline numbers (SWARM_r05.json).
+
 Run (CPU):  python examples/demo_streaming_deployment.py
 Run (TPU):  env PYTHONPATH=/root/.axon_site:/root/repo \
               python examples/demo_streaming_deployment.py --targets 400

@@ -163,46 +163,129 @@ def target_usage(state: TrackerState, shapes: TrackerShapes):
 CLUSTER_COMPACT_CAP = 2048
 
 
+def _slot_flat_labels(state: TrackerState, shapes: TrackerShapes):
+    """Flat slot id per (leaf, window column) for radar and AIS labels:
+    w*(M+A) + (m-1) / w*(M+A) + M + (a-1); invalid -> n (= W*(M+A)).
+    Small [T, L, W] integer tensors — never [T, n_slots]."""
+    T, L, W = state.hist_meas.shape
+    M, A = shapes.max_meas, shapes.max_ais
+    P = M + A
+    n = W * P
+    base = jnp.arange(W)[None, None, :] * P                # [1,1,W]
+    live3 = state.leaf_mask[:, :, None]
+    mi = jnp.where((state.hist_meas >= 1) & live3,
+                   base + state.hist_meas - 1, n)          # [T,L,W]
+    ai = jnp.where((state.hist_ais >= 1) & live3,
+                   base + M + state.hist_ais - 1, n)
+    return mi, ai, n
+
+
+def _contested_minmax(state: TrackerState, shapes: TrackerShapes,
+                      tgt_filter=None):
+    """EXACT per-slot contestedness without materialising any
+    [T, n_slots] tensor (the round-5 T=16384 enabler: that tensor hits
+    3.2e9 elements there): scatter the min and the max target id using
+    each slot over [n_slots] buffers; a slot is used by >= 2 DISTINCT
+    targets iff min < max.  Returns (contested [n_slots] bool,
+    used [n_slots] bool)."""
+    T, L, W = state.hist_meas.shape
+    mi, ai, n = _slot_flat_labels(state, shapes)
+    if tgt_filter is not None:
+        keep = tgt_filter[:, None, None]
+        mi = jnp.where(keep, mi, n)
+        ai = jnp.where(keep, ai, n)
+    tid = jnp.broadcast_to(jnp.arange(T)[:, None, None], mi.shape)
+    tid_flat = tid.reshape(-1)
+    mn = jnp.full((n + 1,), T, jnp.int32)
+    mx = jnp.full((n + 1,), -1, jnp.int32)
+    for idx in (mi, ai):
+        f = idx.reshape(-1)
+        mn = mn.at[f].min(tid_flat)
+        mx = mx.at[f].max(tid_flat)
+    used = mx[:n] >= 0
+    return (mn[:n] < mx[:n]), used
+
+
+def _compact_rank(contested, cap):
+    """[S+1] map: flat slot id -> compact column (< cap) or the dump
+    column ``cap`` (uncontested / beyond-cap / invalid-slot id S)."""
+    S = contested.shape[0]
+    r = jnp.cumsum(contested.astype(jnp.int32)) - 1
+    rank = jnp.where(contested & (r < cap), r, cap)
+    return jnp.concatenate([rank, jnp.asarray([cap], jnp.int32)])
+
+
+def _compact_usage(state: TrackerState, shapes: TrackerShapes,
+                   rank_pad, cap, tgt_filter=None):
+    """[T, cap] f32: does any live leaf of target t use compact
+    contested column c?  Built by ONE 2D scatter per label family from
+    the [T, L, W] flat-slot tensors — never a [T, n_slots] array."""
+    T, L, W = state.hist_meas.shape
+    mi, ai, n = _slot_flat_labels(state, shapes)
+    if tgt_filter is not None:
+        keep = tgt_filter[:, None, None]
+        mi = jnp.where(keep, mi, n)
+        ai = jnp.where(keep, ai, n)
+    tids = jnp.broadcast_to(jnp.arange(T)[:, None, None],
+                            mi.shape).reshape(-1)
+    uc = jnp.zeros((T, cap + 1), jnp.float32)
+    for idx in (mi, ai):
+        cols = rank_pad[idx.reshape(-1)]
+        uc = uc.at[tids, cols].set(1.0)
+    return uc[:, :cap]
+
+
 def cluster(state: TrackerState, shapes: TrackerShapes, usage=None):
     """Connected components of the target–measurement sharing graph via
     min-label propagation with pointer jumping (log-depth convergence
     even for chain-shaped clusters).
 
     The adjacency "targets t,u share >=1 slot" only ever involves
-    CONTESTED slots (used by >=2 targets — sharing IS being contested),
-    so the [T, n_slots] usage matrix is first compacted to the
-    contested columns (one sort + one gather) and the adjacency matmul
-    runs at [T, C] x [C, T] with C = CLUSTER_COMPACT_CAP instead of
-    [T, n_slots]: at T=8192 / n_slots=98k that is the difference
-    between a 6.6 TFLOP and a 0.03 TFLOP matmul (the round-5 T=8192
-    probe measured select at 133 ms of a 222 ms scan, dominated by
-    this).  When more than C slots are contested the exact full matmul
-    runs instead (lax.cond — compiled once, executed only on
-    overflow)."""
-    use = _hist_usage(state, shapes) if usage is None else usage
-    T = use.shape[0]
-    useb = use.reshape(T, -1)                              # [T, S] bool
-    S = useb.shape[1]
-    cnt = useb.sum(axis=0)                                 # int32
-    contested = cnt >= 2
-    n_cont = contested.sum()
+    CONTESTED slots (used by >=2 distinct targets — sharing IS being
+    contested), so the usage matrix is compacted to the contested
+    columns before the matmul: [T, C] x [C, T] with
+    C = CLUSTER_COMPACT_CAP instead of [T, n_slots] (at T=8192 /
+    n_slots=98k: 13 TFLOP -> 137 GMAC).  When more than C slots are
+    contested the exact full matmul runs instead (lax.cond).
+
+    Two formulations by size (measured round 5 — scatters are ms-class
+    ops on this TPU, dense compares are not): below the [T, n_slots]
+    int32 addressing wall, contestedness/compaction come from the
+    dense usage tensor; above it (T=16384+), from exact
+    min/max-target-id scatters (_contested_minmax) with the compact
+    adjacency truncated to the first C contested slots on overflow
+    (documented degradation: cluster SPLITS can then occur, never
+    merges)."""
+    T, L, W = state.hist_meas.shape
+    M, A = shapes.max_meas, shapes.max_ais
+    S = W * (M + A)
     CAPc = min(CLUSTER_COMPACT_CAP, S)
-    slot_ids = jnp.where(contested, jnp.arange(S), S)
-    idx = jnp.sort(slot_ids)[:CAPc]                        # [CAPc]
-    # stay bool until after the gather: casting [T, S] to f32 up front
-    # materialises a 4x bigger matrix (3.2 GB at T=8192) that only the
-    # rare overflow fallback needs
-    uc = (jnp.take(useb, jnp.clip(idx, 0, S - 1), axis=1)
-          & (idx < S)[None, :]).astype(jnp.float32)        # [T, CAPc]
+    if T * S <= (1 << 31):
+        use = _hist_usage(state, shapes) if usage is None else usage
+        useb = use.reshape(T, -1)                          # [T, S] bool
+        cnt = useb.sum(axis=0)                             # int32
+        contested = cnt >= 2
+        n_cont = contested.sum()
+        slot_ids = jnp.where(contested, jnp.arange(S), S)
+        idx = jnp.sort(slot_ids)[:CAPc]                    # [CAPc]
+        # stay bool until after the gather: the f32 cast of [T, S] is
+        # 4x the memory and only the overflow fallback needs it
+        uc = (jnp.take(useb, jnp.clip(idx, 0, S - 1), axis=1)
+              & (idx < S)[None, :]).astype(jnp.float32)    # [T, CAPc]
 
-    def adj_compact(_):
-        return (uc @ uc.T) > 0
+        def adj_compact(_):
+            return (uc @ uc.T) > 0
 
-    def adj_full(_):
-        usef = useb.astype(jnp.float32)
-        return (usef @ usef.T) > 0
+        def adj_full(_):
+            usef = useb.astype(jnp.float32)
+            return (usef @ usef.T) > 0
 
-    adj = _cond(n_cont <= CAPc, adj_compact, adj_full, None)
+        adj = _cond(n_cont <= CAPc, adj_compact, adj_full, None)
+    else:
+        contested, _ = _contested_minmax(state, shapes)
+        rank_pad = _compact_rank(contested, CAPc)
+        uc = _compact_usage(state, shapes, rank_pad, CAPc)  # [T, CAPc]
+        adj = (uc @ uc.T) > 0
     adj = adj & state.tgt_mask[:, None] & state.tgt_mask[None, :]
     adj = adj | (jnp.eye(T, dtype=bool) & state.tgt_mask[:, None])
 
@@ -887,7 +970,14 @@ def select_hybrid(state: TrackerState, shapes: TrackerShapes,
     f = leaf_scores(state, params)
     tb = jnp.arange(T)
 
-    usage = _hist_usage(state, shapes)                     # [T, W, P]
+    # Formulation switch (measured, round 5): the dense/compare builds
+    # win EVERYWHERE they are representable — replacing them with
+    # min/max-target-id scatters cost swarm 11.4 -> 23.1 ms/scan and
+    # T=8192 select 70 -> 124 ms (each scatter is ~ms-class on this
+    # TPU, and the refactor used ~10).  The scatter path exists ONLY to
+    # cross the int32 addressing wall of [T, n_slots] at T=16384+.
+    dense_ok = T * W * P <= (1 << 31)
+    usage = _hist_usage(state, shapes) if dense_ok else None
     if labels_in is None:
         labels, n_clusters = cluster(state, shapes, usage=usage)
     else:
@@ -910,43 +1000,66 @@ def select_hybrid(state: TrackerState, shapes: TrackerShapes,
     exact_bound = obj_single + bound_small
 
     # tier 3: big clusters — compact contested-slot Lagrangian.  Only
-    # slots used by >=2 big-cluster targets can conflict or carry dual
-    # prices; compacting to those CAP slots makes every loop op a small
-    # dense tensor op (no 400us gathers/scatters).
-    CAP = contested_cap
-    cnt_big = (usage & big[:, None, None]).sum(axis=0)     # [W, P]
-    contested = (cnt_big >= 2).reshape(W * P)              # [S]
+    # slots used by >=2 distinct big-cluster targets can conflict or
+    # carry dual prices; compacting to those CAP slots makes every
+    # loop op a small dense tensor op.  Contestedness: per-slot
+    # big-target counts from the dense usage tensor when representable,
+    # else exact min/max-target-id scatters (see dense_ok above).
+    CAP = min(contested_cap, W * P)
+    S = W * P
+    if dense_ok:
+        cnt_big = (usage & big[:, None, None]).sum(axis=0)  # [W, P]
+        contested = (cnt_big >= 2).reshape(S)
+    else:
+        contested, _ = _contested_minmax(state, shapes, tgt_filter=big)
     n_cont = contested.sum()
-    r = jnp.cumsum(contested.astype(jnp.int32)) - 1
-    onehot_c = (contested & (r < CAP))[:, None] \
-        & (r[:, None] == jnp.arange(CAP)[None, :])         # [S, CAP]
-    oc_f = onehot_c.astype(jnp.float32)
-    s_ids = jnp.arange(W * P)
-    off = s_ids % P
-    is_ais_s = off >= M
-    val_of = jnp.where(is_ais_s, off - M + 1, off + 1)
-    cw = (oc_f * (s_ids // P)[:, None]).sum(axis=0).astype(jnp.int32)
-    cval = (oc_f * val_of[:, None]).sum(axis=0).astype(jnp.int32)
-    cais = (onehot_c & is_ais_s[:, None]).any(axis=0)      # [CAP]
-    # per-leaf contested usage.  Empty compact columns (beyond n_cont)
-    # have cval=0 and cw=0; hist_meas==0 is the zero-hypothesis (missed
-    # detection) encoding, so they MUST be masked out explicitly with
-    # cval > 0 (real columns always have val_of >= 1) — otherwise every
-    # padding column becomes a phantom "at most one big-cluster target
-    # may miss at window column 0" constraint whenever depth == W.
-    wids = jnp.arange(W)[None, None, :, None]
-    m_match = (state.hist_meas[..., None] == cval) & ~cais & (cval > 0)
-    a_match = (state.hist_ais[..., None] == cval) & cais
+    # compact column -> flat slot id tables (shared by both builds)
+    s_ids = jnp.where(contested, jnp.arange(S), S)
+    col_slot = jnp.sort(s_ids)[:CAP]                       # [CAP]
+    col_ok = col_slot < S
+    cs = jnp.where(col_ok, col_slot, 0)
+    cw = jnp.where(col_ok, cs // P, 0)                     # column of slot
+    off = cs % P
+    cais = col_ok & (off >= M)
+    # label value of each compact column; 0 for empty columns — the
+    # cval > 0 guard below is load-bearing: hist_meas==0 is the
+    # zero-hypothesis encoding, so unguarded empty columns would
+    # become phantom "at most one target may miss at column cw"
+    # constraints.
+    cval = jnp.where(col_ok,
+                     jnp.where(off >= M, off - M + 1, off + 1), 0)
     eff_leaf = state.leaf_mask & big[:, None]
-    use_c = ((m_match | a_match) & (wids == cw)).any(axis=2)
-    Uc = (use_c & eff_leaf[..., None]).astype(jnp.float32)  # [T, L, CAP]
-    lam_c0 = jnp.einsum('s,sc->c', state.lam, oc_f)
+    if dense_ok:
+        wids = jnp.arange(W)[None, None, :, None]
+        m_match = ((state.hist_meas[..., None] == cval)
+                   & ~cais & (cval > 0))
+        a_match = (state.hist_ais[..., None] == cval) & cais
+        use_c = ((m_match | a_match) & (wids == cw)).any(axis=2)
+        Uc = (use_c & eff_leaf[..., None]).astype(jnp.float32)  # [T,L,CAP]
+    else:
+        rank_pad = _compact_rank(contested, CAP)           # [S+1]
+        mi, ai, n_inv = _slot_flat_labels(state, shapes)
+        keepb = big[:, None, None]
+        tlids = jnp.broadcast_to(
+            (jnp.arange(T)[:, None] * L
+             + jnp.arange(L)[None, :])[..., None], mi.shape).reshape(-1)
+        Uc2 = jnp.zeros((T * L, CAP + 1), jnp.float32)
+        for idx in (mi, ai):
+            cols = rank_pad[jnp.where(keepb, idx, n_inv).reshape(-1)]
+            Uc2 = Uc2.at[tlids, cols].set(1.0)
+        Uc = Uc2[:, :CAP].reshape(T, L, CAP)
+    lam_pad0 = jnp.concatenate([state.lam,
+                                jnp.zeros((1,), jnp.float32)])
+    lam_c0 = jnp.where(col_ok, lam_pad0[jnp.clip(col_slot, 0, S)],
+                       0.0)                                # [CAP]
 
     def run_big(_):
         sel_b, feas_b, obj_b, lb_b, lam_out = _compact_lagrangian(
             f, Uc, lam_c0, state.spine_leaf, big, eff_leaf, exact_obj,
             iters=iters, theta=theta, patience=patience, **lag_kw)
-        lam_full = jnp.einsum('c,sc->s', lam_out, oc_f)
+        lam_full = jnp.zeros((S,), jnp.float32).at[
+            jnp.where(col_ok, col_slot, S)].add(
+            jnp.where(col_ok, lam_out, 0.0), mode='drop')
         return sel_b, feas_b, obj_b, lb_b, lam_full
 
     def no_big(_):

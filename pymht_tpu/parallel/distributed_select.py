@@ -43,8 +43,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.config import TrackerShapes, TrackerParams
-from ..core.select import (_slot_index, _hist_usage, _compact_lagrangian,
-                           leaf_scores)
+from ..core.select import (_slot_index, _compact_lagrangian, _compact_rank,
+                           _slot_flat_labels, _hist_usage, leaf_scores)
 
 
 def _local_tables(state, shapes):
@@ -278,43 +278,82 @@ def distributed_select_compact(state, shapes: TrackerShapes,
         return sel0, obj0, obj0, jnp.asarray(True), lam_full0
 
     def slow(_):
-        # contested set: slots touched by live leaves of >= 2 targets
-        # GLOBALLY (one psum of the dense per-slot target counts).
-        usage = _hist_usage(state, shapes)                 # [T, W, Pcols]
-        cnt_t = jax.lax.psum(usage.sum(axis=0).astype(jnp.int32),
-                             axis_name)                    # [W, Pcols]
-        contested = (cnt_t >= 2).reshape(W * Pcols)        # [S] replicated
-        n_cont = contested.sum()
-        CAP = contested_cap
-        # compaction + inverse tables are pure functions of the psum'd
-        # ``contested`` — identical on every shard, no broadcast needed.
-        r = jnp.cumsum(contested.astype(jnp.int32)) - 1
-        onehot_c = (contested & (r < CAP))[:, None] \
-            & (r[:, None] == jnp.arange(CAP)[None, :])     # [S, CAP]
-        oc_f = onehot_c.astype(jnp.float32)
-        s_ids = jnp.arange(W * Pcols)
-        off = s_ids % Pcols
-        is_ais_s = off >= M
-        val_of = jnp.where(is_ais_s, off - M + 1, off + 1)
-        cw = (oc_f * (s_ids // Pcols)[:, None]).sum(axis=0).astype(jnp.int32)
-        cval = (oc_f * val_of[:, None]).sum(axis=0).astype(jnp.int32)
-        cais = (onehot_c & is_ais_s[:, None]).any(axis=0)  # [CAP]
-        # per-leaf contested usage (cval > 0 masks empty compact columns
-        # — see core/select.select_hybrid for why this is load-bearing)
-        wids = jnp.arange(W)[None, None, :, None]
-        m_match = (state.hist_meas[..., None] == cval) & ~cais & (cval > 0)
-        a_match = (state.hist_ais[..., None] == cval) & cais
+        # contested set: slots used by >= 2 targets GLOBALLY.  Dense
+        # formulation (psum'd per-slot target counts) wherever the
+        # local [T, n_slots] usage is representable — the round-5
+        # measurement: scatter ops are ms-class on TPU, dense compares
+        # are not.  Beyond the int32 addressing wall: exact min/max
+        # GLOBAL-target-id scatters + one pmin/pmax pair.
+        S = W * Pcols
         eff_leaf = state.leaf_mask & state.tgt_mask[:, None]
-        use_c = ((m_match | a_match) & (wids == cw)).any(axis=2)
-        Uc = (use_c & eff_leaf[..., None]).astype(jnp.float32)  # [T,L,CAP]
-        lam_c0 = jnp.einsum('s,sc->c', lam_full0, oc_f)
+        if T * S <= (1 << 31):
+            usage = _hist_usage(state, shapes)             # [T, W, Pcols]
+            cnt_t = jax.lax.psum(usage.sum(axis=0).astype(jnp.int32),
+                                 axis_name)                # [W, Pcols]
+            contested = (cnt_t >= 2).reshape(S)            # replicated
+        else:
+            my_shard = jax.lax.axis_index(axis_name)
+            n_shards = jax.lax.axis_size(axis_name)
+            T_g = n_shards * T
+            mi, ai, n_inv = _slot_flat_labels(state, shapes)
+            gtid = jnp.broadcast_to(
+                (my_shard * T + jnp.arange(T))[:, None, None],
+                mi.shape).reshape(-1)
+            mn = jnp.full((S + 1,), T_g, jnp.int32)
+            mx = jnp.full((S + 1,), -1, jnp.int32)
+            for idx in (mi, ai):
+                f_idx = idx.reshape(-1)
+                mn = mn.at[f_idx].min(gtid)
+                mx = mx.at[f_idx].max(gtid)
+            mn = jax.lax.pmin(mn[:S], axis_name)
+            mx = jax.lax.pmax(mx[:S], axis_name)
+            contested = mn < mx                            # replicated
+        n_cont = contested.sum()
+        CAP = min(contested_cap, S)
+        # compaction tables are pure functions of the reduced
+        # ``contested`` — identical on every shard, no broadcast needed.
+        s_ids = jnp.where(contested, jnp.arange(S), S)
+        col_slot = jnp.sort(s_ids)[:CAP]                   # [CAP]
+        col_ok = col_slot < S
+        if T * S <= (1 << 31):
+            cs = jnp.where(col_ok, col_slot, 0)
+            cw = jnp.where(col_ok, cs // Pcols, 0)
+            off = cs % Pcols
+            cais = col_ok & (off >= M)
+            # cval > 0 guard is load-bearing (zero-hypothesis encoding;
+            # see core/select.select_hybrid)
+            cval = jnp.where(col_ok,
+                             jnp.where(off >= M, off - M + 1, off + 1), 0)
+            wids = jnp.arange(W)[None, None, :, None]
+            m_match = ((state.hist_meas[..., None] == cval)
+                       & ~cais & (cval > 0))
+            a_match = (state.hist_ais[..., None] == cval) & cais
+            use_c = ((m_match | a_match) & (wids == cw)).any(axis=2)
+            Uc = (use_c & eff_leaf[..., None]).astype(jnp.float32)
+        else:
+            rank_pad = _compact_rank(contested, CAP)       # [S+1]
+            tlids = jnp.broadcast_to(
+                (jnp.arange(T)[:, None] * L
+                 + jnp.arange(L)[None, :])[..., None],
+                mi.shape).reshape(-1)
+            Uc2 = jnp.zeros((T * L, CAP + 1), jnp.float32)
+            for idx in (mi, ai):
+                cols = rank_pad[idx.reshape(-1)]
+                Uc2 = Uc2.at[tlids, cols].set(1.0)
+            Uc = Uc2[:, :CAP].reshape(T, L, CAP)
+        lam_pad0 = jnp.concatenate([lam_full0,
+                                    jnp.zeros((1,), jnp.float32)])
+        lam_c0 = jnp.where(col_ok, lam_pad0[jnp.clip(col_slot, 0, S)],
+                           0.0)
 
         sel_b, feas_b, obj_b, lb_b, lam_c = _compact_lagrangian(
             f, Uc, lam_c0, state.spine_leaf, state.tgt_mask, eff_leaf,
             0.0, iters=iters, theta=theta, patience=patience,
             repair_rounds=repair_rounds, repair_cadence=repair_cadence,
             axis_name=axis_name, force_iters=force_iters)
-        lam_full = jnp.einsum('c,sc->s', lam_c, oc_f)
+        lam_full = jnp.zeros((S,), jnp.float32).at[
+            jnp.where(col_ok, col_slot, S)].add(
+            jnp.where(col_ok, lam_c, 0.0), mode='drop')
 
         # contested-cap overflow guard (core/select.select_hybrid twin)
         ok = _dist_selection_feasible(state, shapes, sel_b, axis_name)
